@@ -1,0 +1,96 @@
+"""Scaled dot-product attention core.
+
+Semantics match ``torch.nn.functional.multi_head_attention_forward`` (the
+compute inside the reference's ``nn.TransformerEncoder/DecoderLayer``,
+``/root/reference/model/MMEncoder.py:236-238`` and ``CapDecoder.py:17-24``):
+``softmax(q @ k^T / sqrt(d_head) + bias)`` with dropout on the attention
+weights, then ``@ v``.
+
+TPU notes:
+  * logits and softmax are computed in float32 regardless of the compute dtype
+    (bfloat16 matmuls hit the MXU; the softmax reduction stays accurate),
+  * masking uses a large-finite negative instead of ``-inf`` so fully-masked
+    rows produce a uniform distribution instead of NaN (the reference inherits
+    torch's NaN behavior; no shipped config ever creates a fully-masked row),
+  * a Pallas fused kernel handles the hot no-dropout path when enabled
+    (``vct_tpu.ops.pallas_attention``); this module is the XLA reference path
+    and the fallback on CPU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def padding_bias(key_padding_mask: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
+    """[B, Tk] bool (True = PAD, the reference convention per
+    ``dataloader.py:246``) -> additive [B, 1, 1, Tk] float32 bias."""
+    if key_padding_mask is None:
+        return None
+    bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
+    return bias[:, None, None, :]
+
+
+def causal_bias(length: int) -> jnp.ndarray:
+    """Additive [1, 1, T, T] causal bias (reference
+    ``utils.generate_square_subsequent_mask``, ``utils.py:63-66``)."""
+    mask = jnp.tril(jnp.ones((length, length), dtype=bool))
+    return jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)[None, None, :, :]
+
+
+def combine_bias(*biases: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
+    out = None
+    for b in biases:
+        if b is None:
+            continue
+        out = b if out is None else out + b
+    return out
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    *,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    return_weights: bool = False,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Attention over [B, T, H, D] tensors.
+
+    Returns (output [B, Tq, H, D], weights [B, H, Tq, Tk] mean-ready or None).
+    """
+    dtype = q.dtype
+    d_head = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d_head, dtype=jnp.float32))
+
+    # [B, H, Tq, Tk] logits in fp32.
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+
+    weights = jax.nn.softmax(logits, axis=-1)
+
+    dropped = weights
+    if dropout_rate > 0.0 and not deterministic:
+        if dropout_rng is None:
+            raise ValueError("dropout_rng required for non-deterministic attention")
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        dropped = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
+
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", dropped.astype(dtype), v, preferred_element_type=jnp.float32
+    ).astype(dtype)
+    if return_weights:
+        # torch's need_weights=True returns the pre-dropout weights averaged
+        # over heads; keep per-head here, callers reduce.
+        return out, weights
+    return out, None
