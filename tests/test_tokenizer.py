@@ -1,0 +1,68 @@
+"""WordPiece tokenizer behavior tests (BERT algorithm, no HF dependency)."""
+
+import numpy as np
+import pytest
+
+from vct_tpu.text.tokenizer import CaptionPreprocessor, WordPieceTokenizer
+
+VOCAB_TOKENS = [
+    "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+    "a", "man", "is", "play", "##ing", "the", "guitar", ".", ",",
+    "cat", "##s", "run", "##ning", "dog", "on", "skate", "##board",
+    "un", "##want", "##ed", "你", "好",
+]
+
+
+@pytest.fixture
+def tok():
+    return WordPieceTokenizer({t: i for i, t in enumerate(VOCAB_TOKENS)})
+
+
+def test_basic_and_wordpiece(tok):
+    assert tok.tokenize("A man is playing the guitar.") == [
+        "a", "man", "is", "play", "##ing", "the", "guitar", ".",
+    ]
+    # greedy longest-match continuation
+    assert tok.tokenize("cats running") == ["cat", "##s", "run", "##ning"]
+    # punctuation split even without spaces
+    assert tok.tokenize("man,dog") == ["man", ",", "dog"]
+    # unknown word -> [UNK]
+    assert tok.tokenize("xylophone") == ["[UNK]"]
+    # accents stripped, lowercased
+    assert tok.tokenize("Mán") == ["man"]
+
+
+def test_cjk_spacing(tok):
+    assert tok.tokenize("你好") == ["你", "好"]
+
+
+def test_encode_adds_specials(tok):
+    ids = tok.encode("a man")
+    assert ids[0] == tok.start_id and ids[-1] == tok.end_id
+    assert tok.convert_ids_to_tokens(ids) == ["[CLS]", "a", "man", "[SEP]"]
+
+
+def test_convert_tokens_to_string(tok):
+    s = tok.convert_tokens_to_string(["play", "##ing", "the", "guitar", "."])
+    assert s == "playing the guitar ."
+
+
+def test_decode_caption_truncation_semantics(tok):
+    """MMT4Caption.py:174-183: cut at first [SEP]; no [SEP] -> drop last token."""
+    cls, sep = tok.start_id, tok.end_id
+    a, man, run = tok.vocab["a"], tok.vocab["man"], tok.vocab["run"]
+    assert tok.decode_caption([cls, a, man, sep, run, run]) == "a man"
+    # no SEP: last token dropped
+    assert tok.decode_caption([cls, a, man, run]) == "a man"
+
+
+def test_preprocessor_static_shapes(tok):
+    prep = CaptionPreprocessor(tok, max_len=8)
+    ids, mask = prep(["a man is playing the guitar .", "a man"])
+    assert ids.shape == (2, 8) and mask.shape == (2, 8)
+    # truncated rows still end with [SEP]
+    assert ids[0, -1] == tok.end_id
+    assert not mask[0].any()
+    assert ids[1, 0] == tok.start_id and ids[1, 3] == tok.end_id
+    np.testing.assert_array_equal(mask[1], [False] * 4 + [True] * 4)
+    assert (ids[1, 4:] == tok.pad_id).all()

@@ -161,21 +161,22 @@ class PositionalEmbedding(nn.Module):
     max_len: int = 5000
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, token_embedding: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
-        table = self.variable(
-            "buffers", "pos_embedding", lambda: jnp.asarray(sinusoid_table(self.max_len, self.dim))
+    def setup(self):
+        self.pos_embedding = self.variable(
+            "buffers",
+            "pos_embedding",
+            lambda: jnp.asarray(sinusoid_table(self.max_len, self.dim)),
         )
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, token_embedding: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         s = token_embedding.shape[1]
-        x = token_embedding + table.value[:s].astype(self.dtype)
-        return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        x = token_embedding + self.pos_embedding.value[:s].astype(self.dtype)
+        return self.dropout(x, deterministic=deterministic)
 
     def at_position(self, token_embedding: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         """PE for a single decode step at traced position ``idx`` ([B,1,E])."""
-        table = self.variable(
-            "buffers", "pos_embedding", lambda: jnp.asarray(sinusoid_table(self.max_len, self.dim))
-        )
-        row = jax.lax.dynamic_slice_in_dim(table.value, idx, 1, axis=0)
+        row = jax.lax.dynamic_slice_in_dim(self.pos_embedding.value, idx, 1, axis=0)
         return token_embedding + row[None].astype(self.dtype)
 
 
