@@ -1,0 +1,142 @@
+"""Data layer tests over a synthetic MSVD/MSR-VTT fixture on disk."""
+
+import json
+
+import numpy as np
+import pytest
+
+from vct_tpu.config import SplitConfig, TPUConfig
+from vct_tpu.data.collate import fit_time_axis
+from vct_tpu.data.datasets import MSRVTTDataset, MSVDDataset, build_dataset, load_feature
+from vct_tpu.data.loader import DataLoader, build_dataloader
+
+N_VIDEOS = 7
+T_FRAMES = 12
+E_FEAT = 16
+
+
+@pytest.fixture(scope="module")
+def msvd_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("msvd")
+    feat_dir = root / "feats"
+    feat_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(N_VIDEOS):
+        arr = rng.standard_normal((T_FRAMES, E_FEAT)).astype(np.float32)
+        if i % 2:  # store transposed (E, T) to exercise auto-orientation
+            arr = arr.T
+        np.save(feat_dir / f"vid{i}.npy", arr)
+    ann = root / "train.txt"
+    lines = []
+    for i in range(N_VIDEOS):
+        for j in range(3):
+            lines.append(f"vid{i} a person does action {i} variant {j}")
+    ann.write_text("\n".join(lines))
+    return root
+
+
+@pytest.fixture(scope="module")
+def msrvtt_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("msrvtt")
+    feat_dir = root / "feats"
+    feat_dir.mkdir()
+    rng = np.random.default_rng(1)
+    videos, sentences = [], []
+    for i in range(N_VIDEOS):
+        np.save(
+            feat_dir / f"video{i}.npy",
+            rng.standard_normal((T_FRAMES, E_FEAT)).astype(np.float32),
+        )
+        split = "train" if i < 5 else "validate"
+        videos.append({"video_id": f"video{i}", "split": split})
+        for j in range(2):
+            sentences.append({"video_id": f"video{i}", "caption": f"caption {i} {j}"})
+    (root / "ann.json").write_text(json.dumps({"videos": videos, "sentences": sentences}))
+    return root
+
+
+def test_load_feature_auto_orientation(msvd_root):
+    for i in range(2):
+        arr = load_feature(str(msvd_root / "feats" / f"vid{i}.npy"))
+        assert arr.shape == (T_FRAMES, E_FEAT)
+
+
+def test_msvd_dataset_modes(msvd_root):
+    ds = MSVDDataset([str(msvd_root / "feats")], str(msvd_root / "train.txt"))
+    assert len(ds) == N_VIDEOS * 3  # by_caption: one sample per caption
+    feats, cap, vid = ds[0]
+    assert feats[0].shape == (T_FRAMES, E_FEAT)
+    assert cap.startswith("a person")
+    assert vid in ds.video2caption and len(ds.video2caption[vid]) == 3
+
+    ds_v = MSVDDataset(
+        [str(msvd_root / "feats")], str(msvd_root / "train.txt"), mode="by_video"
+    )
+    assert len(ds_v) == N_VIDEOS
+    feats, cap, vid = ds_v[2]
+    assert cap == "" and vid == sorted(f"vid{i}" for i in range(N_VIDEOS))[2]
+
+
+def test_msvd_debug_truncation(msvd_root):
+    ds = MSVDDataset(
+        [str(msvd_root / "feats")], str(msvd_root / "train.txt"), debug=True, debug_num=5
+    )
+    assert len(ds) == 5
+
+
+def test_msrvtt_split_filtering(msrvtt_root):
+    tr = MSRVTTDataset([str(msrvtt_root / "feats")], str(msrvtt_root / "ann.json"), "train")
+    va = MSRVTTDataset([str(msrvtt_root / "feats")], str(msrvtt_root / "ann.json"), "val")
+    assert len(tr) == 5 * 2
+    assert len(va) == 2 * 2
+    assert va.split_type == "validate"  # val -> validate normalization
+
+
+def test_fit_time_axis():
+    feat = np.arange(20, dtype=np.float32).reshape(5, 4)
+    out, mask = fit_time_axis(feat, 8)
+    assert out.shape == (8, 4)
+    np.testing.assert_array_equal(mask, [False] * 5 + [True] * 3)
+    np.testing.assert_array_equal(out[:5], feat)
+    # longer than max -> uniform subsample, nothing padded
+    out, mask = fit_time_axis(feat, 3)
+    assert not mask.any()
+    np.testing.assert_array_equal(out, feat[[0, 2, 4]])
+
+
+def test_dataloader_static_shapes_and_fill(msvd_root):
+    ds = MSVDDataset([str(msvd_root / "feats")], str(msvd_root / "train.txt"))
+    loader = DataLoader(ds, batch_size=8, max_frames=T_FRAMES, shuffle=False, drop_last=False)
+    batches = list(loader)
+    assert len(batches) == -(-len(ds) // 8) == len(loader)
+    for b in batches:
+        assert b.feats[0].shape == (8, T_FRAMES, E_FEAT)
+        assert b.masks[0].shape == (8, T_FRAMES)
+    assert batches[-1].n_valid == len(ds) % 8
+
+
+def test_dataloader_deterministic_shuffle(msvd_root):
+    ds = MSVDDataset([str(msvd_root / "feats")], str(msvd_root / "train.txt"))
+    l1 = DataLoader(ds, batch_size=4, max_frames=T_FRAMES, shuffle=True, seed=666)
+    l1.set_epoch(3)
+    l2 = DataLoader(ds, batch_size=4, max_frames=T_FRAMES, shuffle=True, seed=666)
+    l2.set_epoch(3)
+    v1 = [b.vids for b in l1]
+    v2 = [b.vids for b in l2]
+    assert v1 == v2
+    l2.set_epoch(4)
+    assert [b.vids for b in l2] != v1
+    # train loader drops the ragged tail for static shapes
+    assert len(l1) == len(ds) // 4
+
+
+def test_build_dataset_factory(msvd_root):
+    cfg = SplitConfig(
+        feat_dir=(str(msvd_root / "feats"),),
+        annotation_path=str(msvd_root / "train.txt"),
+        dataset="msvd",
+        split_mode="train",
+    )
+    ds, loader = build_dataloader(cfg, TPUConfig(max_frames=T_FRAMES))
+    assert loader.shuffle
+    assert isinstance(ds, MSVDDataset)

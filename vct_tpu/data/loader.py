@@ -1,0 +1,125 @@
+"""Batch iterator with deterministic shuffling and background prefetch.
+
+Replaces torch ``DataLoader`` + ``DistributedSampler`` (``dataloader.py:513-532``).
+Differences, all TPU-motivated:
+
+* static batch shapes (see ``collate``); training drops the last partial batch,
+  eval pads it and reports ``n_valid``,
+* per-epoch deterministic shuffle via ``epoch`` seed — the equivalent of
+  ``DistributedSampler.set_epoch`` (``train.py:236``),
+* no per-rank sharded sampler: under GSPMD one *global* batch is assembled on
+  host and ``jax.device_put`` with a NamedSharding splits it over the data mesh
+  axis (``vct_tpu.parallel``); the sampler-per-process machinery disappears,
+* optional double-buffered prefetch on a background thread so host feature
+  loading overlaps device compute (the torch version uses worker processes).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from vct_tpu.data.collate import Batch, collate
+from vct_tpu.data.datasets import CoreDataset
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset: CoreDataset,
+        batch_size: int,
+        *,
+        max_frames: int = 12,
+        preprocessor=None,
+        shuffle: bool = False,
+        drop_last: Optional[bool] = None,
+        seed: int = 666,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.max_frames = max_frames
+        self.preprocessor = preprocessor
+        self.shuffle = shuffle
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _order(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def _batches(self) -> Iterator[Batch]:
+        order = self._order()
+        bs = self.batch_size
+        limit = (len(order) // bs) * bs if self.drop_last else len(order)
+        for start in range(0, limit, bs):
+            idx = order[start : start + bs]
+            items = [self.dataset[int(i)] for i in idx]
+            yield collate(
+                items,
+                batch_size=bs,
+                max_frames=self.max_frames,
+                preprocessor=self.preprocessor,
+            )
+
+    def __iter__(self) -> Iterator[Batch]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err: list = []
+
+        def producer():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            except BaseException as e:  # noqa: BLE001
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
+
+
+def build_dataloader(split_cfg, tpu_cfg, preprocessor=None) -> "tuple[CoreDataset, DataLoader]":
+    """Config-driven factory mirroring the reference ``build_dataloader``
+    signature semantics (``dataloader.py:513-532``): shuffle only the train
+    split. Returns (dataset, loader)."""
+    from vct_tpu.data.datasets import build_dataset
+
+    ds = build_dataset(split_cfg)
+    is_train = split_cfg.split_mode == "train"
+    loader = DataLoader(
+        ds,
+        split_cfg.batch_size,
+        max_frames=tpu_cfg.max_frames,
+        preprocessor=preprocessor,
+        shuffle=is_train,
+        seed=tpu_cfg.seed,
+    )
+    return ds, loader
