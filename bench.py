@@ -1,0 +1,110 @@
+"""Benchmark: caption decoding throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measured: captions/sec/chip for batched greedy decoding (max_len 30) on the
+flagship MSVD-config model (embed 768, 1-layer encoder, 3-layer decoder,
+vocab 30522, uni_12 features) in bfloat16 — the reference repo's
+latency-critical path (``eval.py`` decodes the whole split every epoch,
+``train.py:248``). The reference publishes no throughput numbers (SURVEY.md
+§6), so the baseline here is a faithful re-statement of the reference's
+*algorithm* on the same stack and chip: full-prefix decoder re-run per token
+with no KV cache and a host argmax round-trip per step
+(``MMT4Caption.py:146-184``, ``CapDecoder.py:62-79``). vs_baseline is the
+speedup of the vct_tpu decode path (jitted lax.while_loop + KV cache) over
+that — an apples-to-apples algorithmic comparison, hardware held fixed.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from __graft_entry__ import _batch, _flagship
+from vct_tpu.decode import make_greedy_fn
+from vct_tpu.models.mmt4caption import MMT4Caption
+
+B = 64
+T = 12
+MAX_LEN = 30
+VOCAB = 30522
+
+
+def main() -> None:
+    model = _flagship(dtype=jnp.bfloat16)
+    feats, masks, caps, cap_mask = _batch(B, T, 8, 512, VOCAB)
+    variables = model.init(
+        jax.random.PRNGKey(0), feats, masks, caps, cap_mask,
+        method=MMT4Caption.caption_loss,
+    )
+    variables = jax.device_put(variables)
+
+    # ---- vct_tpu path: jitted KV-cached greedy -----------------------------
+    # END_ID = -1 never fires: both paths generate the full 30 tokens
+    # (worst case). With real weights early exit only helps further.
+    END_ID = -1
+    greedy = make_greedy_fn(model, MAX_LEN, 101, END_ID)
+    tokens, _ = greedy(variables, feats, masks)  # compile
+    tokens.block_until_ready()
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        tokens, _ = greedy(variables, feats, masks)
+    tokens.block_until_ready()
+    ours_cps = B * iters / (time.perf_counter() - t0)
+
+    # ---- reference algorithm: no cache, full re-run, host argmax loop ------
+    encode = jax.jit(lambda v, f, m: model.apply(v, f, m, method=MMT4Caption.encode))
+    # one jitted decode_word per prefix length (best case for the reference
+    # algorithm: everything still compiled, only the algorithm differs)
+    word_fns = {}
+
+    def decode_word(variables, memory, ys, mem_mask):
+        s = ys.shape[1]
+        if s not in word_fns:
+            word_fns[s] = jax.jit(
+                lambda v, mem, y, mm: model.apply(
+                    v, mem, y, mm, method=MMT4Caption.decode_word
+                )
+            )
+        return word_fns[s](variables, memory, ys, mem_mask)
+
+    def reference_decode():
+        memory, mem_mask, _ = encode(variables, feats, masks)
+        ys = np.full((B, 1), 101, np.int32)
+        end = np.zeros(B, bool)
+        for _ in range(MAX_LEN - 1):
+            logits = decode_word(variables, memory, jnp.asarray(ys), mem_mask)
+            nxt = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.int32)
+            ys = np.concatenate([ys, nxt[:, None]], axis=1)
+            end |= nxt == END_ID
+            if end.all():
+                break
+        return ys
+
+    reference_decode()  # compile all prefix lengths
+    iters_ref = 2
+    t0 = time.perf_counter()
+    for _ in range(iters_ref):
+        reference_decode()
+    ref_cps = B * iters_ref / (time.perf_counter() - t0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "greedy_caption_throughput",
+                "value": round(ours_cps, 2),
+                "unit": "captions/sec/chip",
+                "vs_baseline": round(ours_cps / ref_cps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

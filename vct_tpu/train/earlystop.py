@@ -1,0 +1,53 @@
+"""Patience-based early stopping, semantics-compatible with the reference
+``EarlyStopping`` (``/root/reference/utils.py:8-60``): the callable *negates*
+the passed value internally (so callers maximizing a metric pass ``-metric``,
+exactly like ``train.py:267-270``), counts non-improving epochs against
+``patience`` with ``delta`` slack, and invokes a save callback on improvement.
+
+Unlike the reference (which torch.saves a bare state_dict), saving is a
+callback so the training loop can write a full resumable orbax checkpoint.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+
+class EarlyStopping:
+    def __init__(
+        self,
+        patience: int = 7,
+        verbose: bool = False,
+        delta: float = 0.0,
+        trace_func: Callable[[str], None] = print,
+    ):
+        self.patience = patience
+        self.verbose = verbose
+        self.delta = delta
+        self.trace_func = trace_func
+        self.counter = 0
+        self.best_score: Optional[float] = None
+        self.early_stop = False
+
+    def __call__(self, value: float, save_fn: Optional[Callable[[], None]] = None) -> bool:
+        """Returns True when this value is a new best (and triggers save_fn)."""
+        score = -value  # reference negation (utils.py:38)
+        improved = False
+        # reference improvement test (utils.py:43-49): counter only bumps when
+        # val < best + delta, so equality counts as improvement
+        if self.best_score is None or score >= self.best_score + self.delta:
+            self.best_score = score
+            self.counter = 0
+            improved = True
+            if save_fn is not None:
+                save_fn()
+            if self.verbose:
+                self.trace_func(f"EarlyStopping: new best {value:.6f}")
+        else:
+            self.counter += 1
+            self.trace_func(
+                f"EarlyStopping counter: {self.counter} out of {self.patience}"
+            )
+            if self.counter >= self.patience:
+                self.early_stop = True
+        return improved

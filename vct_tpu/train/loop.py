@@ -1,0 +1,303 @@
+"""Training orchestration — the re-design of ``/root/reference/train.py``.
+
+Epoch structure mirrors ``mmt4caption_train`` (``train.py:208-289``):
+train epoch -> scheduler step -> validation losses -> caption-metric eval ->
+sample prediction -> TB logging -> metric/loss earlystop -> periodic save.
+
+TPU re-design notes:
+* the train step is one jitted GSPMD program over the ('data','model') mesh —
+  no DDP wrapper, no rank bookkeeping, no barriers (``train.py:218,246-256``
+  all disappear),
+* eval decoding runs the jitted KV-cached greedy decoder over the *whole*
+  mesh instead of the reference's rank-0-only decode bottleneck
+  (``train.py:248-249``, SURVEY.md §5),
+* checkpoints are full resumable train states (orbax) rather than bare
+  state_dicts; ``Trainer.resume`` continues mid-run (capability the reference
+  lacks),
+* tokenization/text-encoding happen in the input pipeline, not inside the
+  step (``MMT4Caption.py:118`` moved host-side).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vct_tpu.config import Config
+from vct_tpu.convert import convert_state_dict, load_torch_state_dict
+from vct_tpu.data.loader import DataLoader, build_dataloader
+from vct_tpu.decode import detokenize_batch, make_beam_fn, make_greedy_fn
+from vct_tpu.evalcap.scorer import COCOScorer, make_coco_sample
+from vct_tpu.models.mmt4caption import MMT4Caption
+from vct_tpu.parallel.mesh import make_mesh, replicate, shard_batch_arrays
+from vct_tpu.text.tokenizer import CaptionPreprocessor, make_tokenizer
+from vct_tpu.train.earlystop import EarlyStopping
+from vct_tpu.train.optimizers import (
+    build_optimizer,
+    build_scheduler,
+    set_learning_rate,
+)
+from vct_tpu.train.state import (
+    TrainState,
+    make_train_state,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from vct_tpu.train.step import batch_to_arrays, make_eval_step, make_train_step
+
+METRIC_KEYS = ("Bleu_4", "METEOR", "ROUGE_L", "CIDEr")  # earlystop sum (train.py:267)
+
+
+def _dtype(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config,
+        *,
+        tokenizer=None,
+        text_encoder: Optional[Callable[[List[str]], np.ndarray]] = None,
+        mesh=None,
+        writer=None,
+        log: Callable[[str], None] = print,
+    ):
+        self.cfg = cfg
+        self.log = log
+        self.task = cfg.train.task
+        self.tokenizer = tokenizer or make_tokenizer(cfg.tpu.vocab_path, cfg.model.tokenizer)
+        self.preprocessor = CaptionPreprocessor(self.tokenizer, cfg.tpu.max_caption_len)
+        self.text_encoder = text_encoder
+        if self.task in ("match", "cross") and text_encoder is None:
+            raise ValueError("match/cross tasks need a text_encoder (frozen CLIP/BERT)")
+
+        import dataclasses
+
+        model_cfg = cfg.model
+        if model_cfg.vocab_size != self.tokenizer.vocab_size:
+            model_cfg = dataclasses.replace(model_cfg, vocab_size=self.tokenizer.vocab_size)
+        self.model = MMT4Caption(model_cfg, cfg.tpu, dtype=_dtype(cfg.tpu.dtype))
+
+        self.mesh = mesh or make_mesh(cfg.tpu.mesh_data, cfg.tpu.mesh_model)
+        self.variables = self._init_variables()
+        if cfg.model.pretrained_model:
+            self.load_pretrained(cfg.model.pretrained_model)
+
+        self.optimizer = build_optimizer(cfg.train, self.variables["params"])
+        self.scheduler = build_scheduler(cfg.train)
+        self.state = make_train_state(self.variables, self.optimizer, seed=cfg.tpu.seed)
+        self.state = jax.tree_util.tree_map(lambda x: x, self.state)  # materialize
+        self.state = replicate(self.mesh, self.state)
+
+        self.train_step = make_train_step(self.model, self.optimizer, self.task)
+        self.val_step = make_eval_step(self.model, self.task)
+        self.greedy_fn = make_greedy_fn(
+            self.model, cfg.test.max_length,
+            self.tokenizer.start_id, self.tokenizer.end_id,
+        )
+        self.earlystop = EarlyStopping(patience=cfg.train.earlystop, trace_func=log)
+        self.writer = writer
+        self.start_epoch = 0
+
+        self.loaders: Dict[str, DataLoader] = {}
+        self.datasets: Dict[str, Any] = {}
+        for name, split in (
+            ("train", cfg.data.train),
+            ("validation", cfg.data.validation),
+            ("eval", cfg.data.eval),
+        ):
+            if split is None:
+                continue
+            prep = self.preprocessor if name != "eval" else None
+            ds, loader = build_dataloader(split, cfg.tpu, preprocessor=prep)
+            self.datasets[name], self.loaders[name] = ds, loader
+
+    # ------------------------------------------------------------------
+
+    def _init_variables(self):
+        cfg = self.cfg
+        b = max(self.mesh.shape["data"], 1)
+        feats = [
+            jnp.zeros((b, cfg.tpu.max_frames, d), jnp.float32)
+            for d in cfg.model.modal_shape
+        ]
+        masks = [jnp.zeros((b, cfg.tpu.max_frames), bool) for _ in cfg.model.modal_shape]
+        caps = jnp.zeros((b, cfg.tpu.max_caption_len), jnp.int32)
+        # Initialize through the cross path whenever a matching head is
+        # configured so every submodule's params exist (reference checkpoints
+        # always carry matching.* keys regardless of task; torch modules are
+        # built eagerly in MMT4Caption.__init__, MMT4Caption.py:86-91).
+        if cfg.model.matching is not None:
+            text = jnp.zeros((b, 512 if "CLIP" in cfg.model.text_enc_type else 768))
+            return self.model.init(
+                jax.random.PRNGKey(cfg.tpu.seed), feats, masks, caps, caps == 0, text,
+                method=MMT4Caption.cross_loss,
+            )
+        return self.model.init(
+            jax.random.PRNGKey(cfg.tpu.seed), feats, masks, caps, caps == 0,
+            method=MMT4Caption.caption_loss,
+        )
+
+    def load_pretrained(self, path: str) -> None:
+        """Load reference ``.pth`` (via converter) or orbax params."""
+        if path.endswith((".pth", ".pt", ".bin")):
+            sd = load_torch_state_dict(path)
+            self.variables, report = convert_state_dict(self.variables, sd)
+            self.log(f"loaded {path}: missing={len(report['missing'])} "
+                     f"unexpected={len(report['unexpected'])}")
+        else:
+            from vct_tpu.train.state import restore_params_only
+
+            self.variables = restore_params_only(path, self.variables)
+            self.log(f"loaded orbax params from {path}")
+
+    # ------------------------------------------------------------------
+
+    def _shard(self, arrays):
+        return shard_batch_arrays(self.mesh, arrays)
+
+    def train_epoch(self, epoch: int) -> float:
+        loader = self.loaders["train"]
+        loader.set_epoch(epoch)
+        total, n = 0.0, 0
+        for batch in loader:
+            arrays = self._shard(batch_to_arrays(batch, self.text_encoder))
+            self.state, metrics = self.train_step(self.state, arrays)
+            total += float(metrics["loss"])
+            n += 1
+        return total / max(n, 1)
+
+    def val_epoch(self) -> Dict[str, float]:
+        loader = self.loaders.get("validation")
+        if loader is None:
+            return {}
+        sums: Dict[str, float] = {}
+        n = 0
+        variables = {"params": self.state.params, "buffers": self.state.buffers}
+        for batch in loader:
+            arrays = self._shard(batch_to_arrays(batch, self.text_encoder))
+            metrics = self.val_step(variables, arrays)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in sums.items()}
+
+    def eval_epoch(self, verbose: bool = False) -> Dict[str, float]:
+        """Greedy-decode the eval split, score with the COCO scorers
+        (reference ``eval_epoch``, ``train.py:172-185``)."""
+        loader = self.loaders.get("eval")
+        if loader is None:
+            return {}
+        vid2result = self.decode_split(loader)
+        gts, samples, ids = make_coco_sample(
+            vid2result, self.datasets["eval"].video2caption
+        )
+        scorer = COCOScorer(verbose=verbose)
+        return dict(scorer.score(gts, samples, ids))
+
+    def decode_split(self, loader: DataLoader) -> Dict[str, str]:
+        variables = {"params": self.state.params, "buffers": self.state.buffers}
+        vid2result: Dict[str, str] = {}
+        for batch in loader:
+            feats = [jnp.asarray(f) for f in batch.feats]
+            masks = [jnp.asarray(m) for m in batch.masks]
+            tokens, _ = self.greedy_fn(variables, feats, masks)
+            caps = detokenize_batch(self.tokenizer, tokens)
+            for vid, cap in list(zip(batch.vids, caps))[: batch.n_valid]:
+                vid2result[vid] = cap
+        return vid2result
+
+    # ------------------------------------------------------------------
+
+    def _log_scalars(self, epoch: int, scalars: Dict[str, float]) -> None:
+        line = " | ".join(f"{k}={v:.4f}" for k, v in scalars.items())
+        self.log(f"[epoch {epoch}] {line}")
+        if self.writer is not None:
+            for k, v in scalars.items():
+                self.writer.add_scalar(k, v, epoch)
+
+    def _ckpt_path(self, suffix: str) -> str:
+        d = os.path.join(self.cfg.train.save_dir, self.cfg.train.tag + suffix)
+        os.makedirs(os.path.dirname(d) or ".", exist_ok=True)
+        return d
+
+    def save(self, suffix: str, epoch: int) -> str:
+        path = self._ckpt_path(suffix)
+        save_checkpoint(path, jax.device_get(self.state), epoch=epoch)
+        return path
+
+    def resume(self, path: str) -> None:
+        self.state, self.start_epoch = restore_checkpoint(path, jax.device_get(self.state))
+        self.state = replicate(self.mesh, self.state)
+        for _ in range(self.start_epoch):
+            if hasattr(self.scheduler, "T_max"):
+                self.scheduler.step()
+        self.log(f"resumed from {path} at epoch {self.start_epoch}")
+
+    def fit(self) -> Dict[str, float]:
+        cfg = self.cfg
+        last_scores: Dict[str, float] = {}
+        for epoch in range(self.start_epoch, cfg.train.epoch):
+            t0 = time.time()
+            train_loss = self.train_epoch(epoch)
+            # scheduler stepped per epoch like train.py:239
+            if type(self.scheduler).__name__ == "ReduceLROnPlateau":
+                pass  # stepped below once the val loss is known
+            else:
+                set_learning_rate(self.state.opt_state, self.scheduler.step())
+
+            val_metrics = self.val_epoch()
+            if type(self.scheduler).__name__ == "ReduceLROnPlateau" and val_metrics:
+                set_learning_rate(
+                    self.state.opt_state, self.scheduler.step(val_metrics["loss"])
+                )
+
+            scores = self.eval_epoch()
+            last_scores = scores
+
+            scalars = {"train_loss": train_loss, "lr": self.scheduler.lr,
+                       "epoch_seconds": time.time() - t0}
+            scalars.update({f"val_{k}": v for k, v in val_metrics.items()})
+            scalars.update(scores)
+            self._log_scalars(epoch, scalars)
+            self.print_sample()
+
+            # earlystop: metric-sum (maximize) or val loss (minimize),
+            # train.py:263-281
+            if cfg.train.metric_earlystop and scores:
+                value = -sum(scores.get(k, 0.0) for k in METRIC_KEYS)
+            else:
+                value = val_metrics.get("loss", train_loss)
+            self.earlystop(value, save_fn=lambda: self.save("_earlystop", epoch))
+            if self.earlystop.early_stop:
+                self.log(f"early stop at epoch {epoch}")
+                break
+
+            if (epoch + 1) % cfg.train.save_frequency == 0:
+                self.save(f"_epoch{epoch}", epoch)
+        return last_scores
+
+    def print_sample(self) -> None:
+        """Reference ``v2t_single`` (``train.py:198-205``): print one eval
+        video's prediction + a ground truth."""
+        ds = self.datasets.get("eval")
+        if ds is None or not len(ds):
+            return
+        feats, _, vid = ds[0]
+        from vct_tpu.data.collate import collate
+
+        batch = collate([(feats, "", vid)], batch_size=1, max_frames=self.cfg.tpu.max_frames)
+        variables = {"params": self.state.params, "buffers": self.state.buffers}
+        tokens, _ = self.greedy_fn(
+            variables, [jnp.asarray(f) for f in batch.feats],
+            [jnp.asarray(m) for m in batch.masks],
+        )
+        pred = detokenize_batch(self.tokenizer, tokens)[0]
+        gt = ds.video2caption.get(vid, [""])[0]
+        self.log(f"sample [{vid}] pred: {pred!r} | gt: {gt!r}")
