@@ -2,17 +2,21 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Measured: captions/sec/chip for batched greedy decoding (max_len 30) on the
-flagship MSVD-config model (embed 768, 1-layer encoder, 3-layer decoder,
-vocab 30522, uni_12 features) in bfloat16 — the reference repo's
-latency-critical path (``eval.py`` decodes the whole split every epoch,
-``train.py:248``). The reference publishes no throughput numbers (SURVEY.md
-§6), so the baseline here is a faithful re-statement of the reference's
-*algorithm* on the same stack and chip: full-prefix decoder re-run per token
-with no KV cache and a host argmax round-trip per step
+Measured: captions/sec/chip for batched greedy decoding (max_len 30,
+full-length worst case) on the flagship MSVD-config model (embed 768, 1-layer
+encoder, 3-layer decoder, vocab 30522, uni_12 features) in bfloat16 — the
+reference repo's latency-critical path (``eval.py`` decodes the whole split
+every epoch, ``train.py:248``). The reference publishes no throughput numbers
+(SURVEY.md §6), so the baseline here is a faithful re-statement of the
+reference's *algorithm* on the same stack and chip: full-prefix decoder
+re-run per token with no KV cache and a host argmax round-trip per step
 (``MMT4Caption.py:146-184``, ``CapDecoder.py:62-79``). vs_baseline is the
 speedup of the vct_tpu decode path (jitted lax.while_loop + KV cache) over
 that — an apples-to-apples algorithmic comparison, hardware held fixed.
+
+Timing notes: every timed iteration materializes the result on host
+(np.asarray) — on this TPU relay, block_until_ready alone is not a reliable
+completion barrier until the first host transfer has warmed the path up.
 """
 
 from __future__ import annotations
@@ -33,35 +37,33 @@ B = 64
 T = 12
 MAX_LEN = 30
 VOCAB = 30522
+END_ID = -1  # never fires -> full 30-token generation (worst case; with real
+# weights the early-exit only helps further)
 
 
 def main() -> None:
+    # warm the device + transfer path (first host transfer can take ~60s on
+    # the tunneled TPU; everything after is steady-state)
+    np.asarray(jax.jit(lambda x: x * 2)(jnp.ones((8, 128))))
+
     model = _flagship(dtype=jnp.bfloat16)
     feats, masks, caps, cap_mask = _batch(B, T, 8, 512, VOCAB)
     variables = model.init(
         jax.random.PRNGKey(0), feats, masks, caps, cap_mask,
         method=MMT4Caption.caption_loss,
     )
-    variables = jax.device_put(variables)
 
     # ---- vct_tpu path: jitted KV-cached greedy -----------------------------
-    # END_ID = -1 never fires: both paths generate the full 30 tokens
-    # (worst case). With real weights early exit only helps further.
-    END_ID = -1
     greedy = make_greedy_fn(model, MAX_LEN, 101, END_ID)
-    tokens, _ = greedy(variables, feats, masks)  # compile
-    tokens.block_until_ready()
+    np.asarray(greedy(variables, feats, masks)[0])  # compile + warm
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        tokens, _ = greedy(variables, feats, masks)
-    tokens.block_until_ready()
+        tokens = np.asarray(greedy(variables, feats, masks)[0])
     ours_cps = B * iters / (time.perf_counter() - t0)
 
     # ---- reference algorithm: no cache, full re-run, host argmax loop ------
     encode = jax.jit(lambda v, f, m: model.apply(v, f, m, method=MMT4Caption.encode))
-    # one jitted decode_word per prefix length (best case for the reference
-    # algorithm: everything still compiled, only the algorithm differs)
     word_fns = {}
 
     def decode_word(variables, memory, ys, mem_mask):
@@ -88,7 +90,7 @@ def main() -> None:
         return ys
 
     reference_decode()  # compile all prefix lengths
-    iters_ref = 2
+    iters_ref = 3
     t0 = time.perf_counter()
     for _ in range(iters_ref):
         reference_decode()
