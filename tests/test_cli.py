@@ -1,0 +1,130 @@
+"""End-to-end CLI drivers: train -> checkpoint -> eval -> predict, all
+in-process on the virtual CPU mesh (the reference has no tests at all;
+this covers its three entry points' contracts)."""
+
+import json
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+N_VID, T, E_FEAT = 6, 5, 16
+WORDS = ["a", "person", "does", "action", "variant"] + [str(i) for i in range(8)]
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_ws")
+    feat_dir = root / "feats"
+    feat_dir.mkdir()
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(N_VID):
+        np.save(feat_dir / f"vid{i}.npy", rng.standard_normal((T, E_FEAT)).astype(np.float32))
+        for j in range(3):
+            lines.append(f"vid{i} a person does action {i} variant {j}")
+    (root / "ann.txt").write_text("\n".join(lines))
+    (root / "vocab.txt").write_text(
+        "\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + WORDS)
+    )
+
+    split = {
+        "feat_dir": [str(feat_dir)],
+        "annotation_path": str(root / "ann.txt"),
+        "dataset": "msvd",
+        "mode": "by_caption",
+        "split_mode": "train",
+        "batch_size": 4,
+    }
+    cfg = {
+        "data": {
+            "train": split,
+            "validation": dict(split),
+            "eval": dict(split, mode="by_video", split_mode="validate", batch_size=2),
+        },
+        "train": {
+            "task": "caption",
+            "optimizer": {"name": "adam", "learning_rate": 1e-3,
+                          "lr_scheduler": {"name": "CosineAnnealingLR", "T_max": 8}},
+            "earlystop": 5, "epoch": 1, "save_frequency": 100,
+            "save_dir": str(root / "ckpt"), "log_dir": str(root / "log"),
+            "tag": "cli", "metric_earlystop": True,
+        },
+        "test": {"max_length": 10},
+        "model": {
+            "modal": ["CLIP4Clip"], "modal_shape": [E_FEAT],
+            "tokenizer": "bert-base-uncased", "embed_dim": 32, "dropout": 0.1,
+            "activation": "gelu",
+            "video_encoder": {"layer": 1, "nhead": 2, "feedforward": 64,
+                              "mme": {"temporal": "encoding", "aggregation": "avg"}},
+            "caption_decoder": {"layer": 1, "nhead": 2, "feedforward": 64,
+                                "sce_loss_alpha": 0.5},
+        },
+        "tpu": {"max_frames": T, "max_caption_len": 12, "dtype": "float32",
+                "mesh_data": 1, "vocab_path": str(root / "vocab.txt")},
+    }
+    (root / "config.json").write_text(json.dumps(cfg))
+    return root
+
+
+def test_train_cli(workspace, capsys):
+    from vct_tpu.cli.train import main
+
+    main(["-c", str(workspace / "config.json"), "--no_tensorboard"])
+    out = capsys.readouterr().out
+    assert "final scores" in out
+    assert (workspace / "ckpt" / "cli_earlystop").exists()
+
+
+def test_eval_cli(workspace, capsys):
+    from vct_tpu.cli.eval import main
+
+    pred_path = workspace / "preds.json"
+    main(["-c", str(workspace / "config.json"),
+          "-m", str(workspace / "ckpt" / "cli_earlystop"),
+          "--out", str(pred_path)])
+    out = capsys.readouterr().out
+    assert "Bleu_4" in out and "CIDEr" in out
+    preds = json.loads(pred_path.read_text())
+    assert len(preds) == N_VID and all(isinstance(v, str) for v in preds.values())
+
+
+def test_eval_cli_beam(workspace, capsys):
+    from vct_tpu.cli.eval import main
+
+    main(["-c", str(workspace / "config.json"),
+          "-m", str(workspace / "ckpt" / "cli_earlystop"), "--beam", "2"])
+    assert "Bleu_4" in capsys.readouterr().out
+
+
+def test_predict_cli_features_greedy_and_vis(workspace, capsys):
+    from vct_tpu.cli.predict import main
+
+    attn_png = workspace / "attn.png"
+    main(["-c", str(workspace / "config.json"),
+          "-m", str(workspace / "ckpt" / "cli_earlystop"),
+          "-f", str(workspace / "feats" / "vid0.npy"),
+          "--greedy", "--vis_attn", "--attn_out", str(attn_png)])
+    out = capsys.readouterr().out
+    assert "caption:" in out
+    assert attn_png.exists() and attn_png.stat().st_size > 0
+
+
+def test_predict_cli_beam(workspace, capsys):
+    from vct_tpu.cli.predict import main
+
+    main(["-c", str(workspace / "config.json"),
+          "-m", str(workspace / "ckpt" / "cli_earlystop"),
+          "-f", str(workspace / "feats" / "vid1.npy"), "--beam", "2"])
+    assert "caption:" in capsys.readouterr().out
+
+
+def test_predict_rejects_modality_mismatch(workspace):
+    from vct_tpu.cli.predict import main
+
+    with pytest.raises(SystemExit):
+        main(["-c", str(workspace / "config.json"),
+              "-m", str(workspace / "ckpt" / "cli_earlystop"),
+              "-f", str(workspace / "feats" / "vid0.npy"),
+              str(workspace / "feats" / "vid1.npy")])

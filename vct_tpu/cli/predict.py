@@ -1,0 +1,174 @@
+"""Single-video prediction CLI — the reference ``predict_video.py``.
+
+Contract (``predict_video.py:145-188``): ``-c`` config + ``-m`` checkpoint,
+then either ``-v`` a raw video or ``-f`` precomputed ``.npy`` features;
+``--ext_type`` frame sampling (``uni_12`` etc.); ``--greedy`` or ``--beam N``
+(works here — the reference stubs it, ``predict_video.py:170``);
+``--vis_attn`` renders the decoder cross-attention heatmap.
+
+The raw-video path runs entirely in-process: host decode + sampling
+(``vct_tpu.clip.frames``) feeding the jitted Flax CLIP ViT-B/32 tower — no
+``video_features`` submodule, no subprocess. CLIP weights come from
+``--clip_weights`` (OpenAI ``.pt`` state_dict, HF ``.bin``, or ``.npz``).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from vct_tpu.cli.common import (
+    add_device_args,
+    configure_hardware,
+    load_checkpoint_into,
+    load_config,
+    load_feature_files,
+    make_trainer_pieces,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Caption a single video")
+    p.add_argument("-c", "--config", required=True, type=str,
+                   help="The path of '.json' config file")
+    p.add_argument("-m", "--model", required=True, type=str,
+                   help="The path of model checkpoint (.pth or orbax dir)")
+    inp = p.add_mutually_exclusive_group(required=True)
+    inp.add_argument("-v", "--video", type=str, help="The path of input video")
+    inp.add_argument("-f", "--features", nargs="+", type=str,
+                     help="The paths of input features of a video (.npy, (T, E))")
+    p.add_argument("--feat_type", nargs="+", type=str,
+                   choices=["CLIP", "CLIP4CLIP-ViT-B-32"], default=["CLIP4CLIP-ViT-B-32"],
+                   help="feature extractor for -v (CLIP ViT-B/32 image tower)")
+    p.add_argument("--ext_type", type=str, default="uni_12",
+                   help="frame sampling: [type]_[param], e.g. uni_12 fps_2 fix_20 tsn_12")
+    p.add_argument("--clip_weights", type=str, default=None,
+                   help="CLIP ViT-B/32 weights for -v (OpenAI .pt / HF .bin / .npz)")
+    gen = p.add_mutually_exclusive_group()
+    gen.add_argument("--greedy", action="store_true", help="greedy decode (default)")
+    gen.add_argument("--beam", type=int, help="beam search decode")
+    p.add_argument("--vis_attn", action="store_true",
+                   help="save decoder cross-attention heatmap to attn.png")
+    p.add_argument("--attn_out", type=str, default="attn.png")
+    add_device_args(p)
+    return p
+
+
+def extract_features(video_path: str, ext_type: str, clip_weights: str) -> np.ndarray:
+    """Raw video -> [1, T, 512] CLIP features, fully in-process (replaces
+    ``extract_feat``/ExtractCLIP, ``predict_video.py:21-38``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vct_tpu.clip import CLIPVisionTower, preprocess_frames, sample_frames
+    from vct_tpu.clip.convert import convert_clip
+
+    frames = sample_frames(video_path, ext_type)
+    pixels = preprocess_frames(frames)
+
+    if clip_weights is None:
+        raise SystemExit("-v needs --clip_weights (CLIP ViT-B/32 state dict); "
+                         "or precompute features and use -f")
+    if clip_weights.endswith(".npz"):
+        flat = dict(np.load(clip_weights))
+        sd = {k: np.asarray(v) for k, v in flat.items()}
+    else:
+        from vct_tpu.convert import load_torch_state_dict
+
+        sd = load_torch_state_dict(clip_weights)
+    tower = CLIPVisionTower()
+    params = convert_clip(sd)
+    feats = jax.jit(tower.apply)({"params": params}, jnp.asarray(pixels))
+    return np.asarray(feats)[None]  # [1, T, 512]
+
+
+def predict(cfg, args, log=print) -> str:
+    """Programmatic entry (reference ``predict``, ``predict_video.py:110-142``).
+    Returns the caption string; attention maps at ``predict.attn`` when
+    ``args.vis_attn``."""
+    import jax.numpy as jnp
+
+    from vct_tpu.decode import detokenize_batch, make_beam_fn, make_greedy_fn
+
+    model, tokenizer, variables = make_trainer_pieces(cfg)
+    variables = load_checkpoint_into(variables, args.model, log=log)
+
+    if args.video:
+        feats = [extract_features(args.video, args.ext_type, args.clip_weights)]
+    else:
+        feats, _ = load_feature_files(args.features)
+    if len(feats) != len(cfg.model.modal):
+        raise SystemExit(f"config expects {len(cfg.model.modal)} modalities, "
+                         f"got {len(feats)} feature inputs")
+    masks = [np.zeros(f.shape[:2], bool) for f in feats]
+
+    collect_attn = bool(args.vis_attn)
+    beam = getattr(args, "beam", None)
+    if beam:
+        if collect_attn:
+            raise SystemExit("--vis_attn requires --greedy (per-step attention)")
+        fn = make_beam_fn(model, cfg.test.max_length,
+                          tokenizer.start_id, tokenizer.end_id, beam)
+    else:
+        fn = make_greedy_fn(model, cfg.test.max_length,
+                            tokenizer.start_id, tokenizer.end_id,
+                            collect_attn=collect_attn)
+
+    out = fn(variables, [jnp.asarray(f) for f in feats], [jnp.asarray(m) for m in masks])
+    tokens, attn = out[0], (out[1] if len(out) > 1 else None)
+    caption = detokenize_batch(tokenizer, tokens)[0]
+    predict.attn = np.asarray(attn) if (collect_attn and attn is not None) else None
+    predict.tokens = np.asarray(tokens)[0]
+    return caption
+
+
+def visualize_attention(attn: np.ndarray, tokens, tokenizer, out_path: str,
+                        feat_lens=None) -> None:
+    """Mean cross-attention heatmap (reference ``visualize``,
+    ``predict_video.py:82-107``): generated tokens x memory positions,
+    averaged over layers and heads."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    # attn: [steps, layers, B, H, 1, Tk] or [layers, B, H, S, Tk] — normalize
+    a = np.asarray(attn, np.float32)
+    a = a.reshape(a.shape[0], -1, a.shape[-1]).mean(axis=1)  # [steps, Tk]
+
+    words = tokenizer.convert_ids_to_tokens(tokens[1:len(a) + 1])
+    end = next((i for i, w in enumerate(words) if w == "[SEP]"), len(words))
+    a, words = a[:end], words[:end]
+
+    fig, ax = plt.subplots(figsize=(max(6, a.shape[1] * 0.5), max(4, len(words) * 0.4)))
+    im = ax.imshow(a, aspect="auto", cmap="viridis")
+    ax.set_yticks(range(len(words)), words)
+    ax.set_xlabel("memory position (global + frames)")
+    fig.colorbar(im)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    configure_hardware(args)
+
+    from vct_tpu.text.tokenizer import make_tokenizer
+    from vct_tpu.utils import setup_seed
+
+    cfg = load_config(args.config)
+    setup_seed(cfg.tpu.seed)
+
+    caption = predict(cfg, args)
+    print(f"caption: {caption}")
+
+    if args.vis_attn and predict.attn is not None:
+        tokenizer = make_tokenizer(cfg.tpu.vocab_path, cfg.model.tokenizer)
+        visualize_attention(predict.attn, predict.tokens, tokenizer, args.attn_out)
+        print(f"attention heatmap saved to {args.attn_out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Training CLI — the reference ``train.py`` entry point, TPU-native.
+
+Reference contract (``train.py:292-315``): ``-c/--config`` JSON,
+``-ws/--world_size``, device flags; this driver keeps those and adds
+``--resume`` (full train-state resume, a capability the reference lacks —
+its checkpoints are bare state_dicts, SURVEY.md §5).
+
+No torchrun / process-per-GPU: one process drives the whole chip mesh via
+GSPMD (``-ws`` sets the data-mesh size; default = all devices).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from vct_tpu.cli.common import add_device_args, configure_hardware, load_config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train MMT4Caption on TPU")
+    p.add_argument("-c", "--config", required=True, type=str,
+                   help="The path of '.json' config file")
+    p.add_argument("-ws", "--world_size", default=-1, type=int,
+                   help="data-parallel mesh size (-1 = all devices)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="orbax checkpoint to resume (optimizer+epoch included)")
+    p.add_argument("--no_tensorboard", action="store_true")
+    add_device_args(p)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    configure_hardware(args)
+
+    import dataclasses
+
+    from vct_tpu.train.loop import Trainer
+    from vct_tpu.utils import setup_seed
+
+    cfg = load_config(args.config)
+    if args.world_size > 0:
+        cfg = cfg.replace(tpu=dataclasses.replace(cfg.tpu, mesh_data=args.world_size))
+    setup_seed(cfg.tpu.seed)
+    print(cfg.display())
+
+    writer = None
+    if not args.no_tensorboard:
+        try:
+            from tensorboardX import SummaryWriter
+
+            import os
+
+            writer = SummaryWriter(os.path.join(cfg.train.log_dir, cfg.train.tag))
+        except ImportError:
+            print("tensorboardX unavailable; logging to stdout only")
+
+    trainer = Trainer(cfg, writer=writer)
+    if args.resume:
+        trainer.resume(args.resume)
+    scores = trainer.fit()
+    if writer is not None:
+        writer.close()
+    print("final scores:", scores)
+
+
+if __name__ == "__main__":
+    main()

@@ -38,14 +38,15 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class CLIPAttention(nn.Module):
-    """Packed-QKV MHA, pre-norm residual style (no mask needed for images)."""
+    """Packed-QKV MHA, pre-norm residual style. ``mask`` is an optional
+    additive [Tq, Tk] bias (the text tower's causal mask; images pass none)."""
 
     width: int
     heads: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         w = self.width
         in_kernel = self.param("in_proj_kernel", nn.initializers.xavier_uniform(), (w, 3 * w), jnp.float32)
         in_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * w,), jnp.float32)
@@ -58,7 +59,10 @@ class CLIPAttention(nn.Module):
             qkv[..., 2 * w :].reshape(b, t, self.heads, d),
         )
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        weights = jax.nn.softmax(logits / jnp.sqrt(jnp.asarray(d, jnp.float32)), axis=-1)
+        logits = logits / jnp.sqrt(jnp.asarray(d, jnp.float32))
+        if mask is not None:
+            logits = logits + mask.astype(jnp.float32)
+        weights = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(self.dtype), v)
         out = out.reshape(b, t, w)
         return nn.Dense(w, dtype=self.dtype, param_dtype=jnp.float32, name="out_proj")(out)
@@ -70,10 +74,10 @@ class CLIPBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         mk = dict(dtype=self.dtype, param_dtype=jnp.float32)
         h = CLIPAttention(self.width, self.heads, self.dtype, name="attn")(
-            nn.LayerNorm(epsilon=1e-5, name="ln_1", **mk)(x)
+            nn.LayerNorm(epsilon=1e-5, name="ln_1", **mk)(x), mask
         )
         x = x + h
         y = nn.LayerNorm(epsilon=1e-5, name="ln_2", **mk)(x)

@@ -323,6 +323,12 @@ class TPUConfig:
     # decoding
     beam_size: int = 1  # 1 = greedy; >1 = beam search (reference stubs beam)
     seed: int = 666  # reference seeds 666 (train.py:308)
+    # Frozen CLIP text encoder assets for the match/cross tasks (reference
+    # TextEncoder.py downloads ViT-B/32 at runtime; this framework loads local
+    # files: a CLIP state dict (.pt/.bin/.npz) + HF-format vocab.json/merges.txt).
+    clip_text_weights: Optional[str] = None
+    clip_vocab_json: Optional[str] = None
+    clip_merges_txt: Optional[str] = None
 
     @staticmethod
     def from_dict(d: Optional[Dict[str, Any]]) -> "TPUConfig":

@@ -56,6 +56,9 @@ class MMT4Caption(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
+        from vct_tpu.ops.attention import set_pallas_enabled
+
+        set_pallas_enabled(self.tpu.use_pallas_attention)
         cfg = self.config
         ve = cfg.video_encoder
         common = dict(

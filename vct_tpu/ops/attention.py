@@ -52,6 +52,28 @@ def combine_bias(*biases: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
     return out
 
 
+# Global switch for the Pallas fused kernel (TPUConfig.use_pallas_attention;
+# set by MMT4Caption.setup). A module-level flag rather than per-call plumbing
+# because every attention site shares one policy and it's resolved at trace
+# time.
+_USE_PALLAS = True
+
+
+def set_pallas_enabled(enabled: bool) -> None:
+    global _USE_PALLAS
+    _USE_PALLAS = bool(enabled)
+
+
+def _pallas_eligible(q, dropout_rate, deterministic, return_weights, bias) -> bool:
+    return (
+        _USE_PALLAS
+        and not return_weights
+        and (deterministic or dropout_rate == 0.0)
+        and q.shape[1] > 1  # single-token decode steps are matvecs; XLA wins
+        and jax.default_backend() == "tpu"
+    )
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -67,6 +89,11 @@ def dot_product_attention(
 
     Returns (output [B, Tq, H, D], weights [B, H, Tq, Tk] mean-ready or None).
     """
+    if _pallas_eligible(q, dropout_rate, deterministic, return_weights, bias):
+        from vct_tpu.ops.pallas_attention import fused_attention
+
+        return fused_attention(q, k, v, bias), None
+
     dtype = q.dtype
     d_head = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d_head, dtype=jnp.float32))

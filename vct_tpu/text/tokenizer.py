@@ -198,7 +198,8 @@ class WordPieceTokenizer:
     def decode_caption(self, ids: Sequence[int]) -> str:
         """Reference greedy-decode postprocessing (``MMT4Caption.py:174-183``):
         truncate at the first [SEP] — or drop the last token when generation
-        hit max length without one — skip position 0 ([CLS]), detokenize."""
+        hit max length without one — skip position 0 ([CLS]), detokenize, then
+        strip any interior [CLS]/[SEP] literals (``eval.py:141``)."""
         ids = list(ids)
         end = -1
         for i, t in enumerate(ids):
@@ -206,7 +207,8 @@ class WordPieceTokenizer:
                 end = i
                 break
         body = ids[1:end] if end >= 0 else ids[1:-1]
-        return self.convert_tokens_to_string(self.convert_ids_to_tokens(body))
+        text = self.convert_tokens_to_string(self.convert_ids_to_tokens(body))
+        return text.replace("[CLS]", "").replace("[SEP]", "").strip()
 
 
 class CaptionPreprocessor:

@@ -75,7 +75,20 @@ class Trainer:
         self.preprocessor = CaptionPreprocessor(self.tokenizer, cfg.tpu.max_caption_len)
         self.text_encoder = text_encoder
         if self.task in ("match", "cross") and text_encoder is None:
-            raise ValueError("match/cross tasks need a text_encoder (frozen CLIP/BERT)")
+            if cfg.tpu.clip_text_weights:
+                from vct_tpu.clip.text import build_text_encoder
+
+                self.text_encoder = build_text_encoder(
+                    cfg.model.text_enc_type,
+                    clip_weights=cfg.tpu.clip_text_weights,
+                    vocab_json=cfg.tpu.clip_vocab_json,
+                    merges_txt=cfg.tpu.clip_merges_txt,
+                )
+            else:
+                raise ValueError(
+                    "match/cross tasks need a text_encoder: pass one, or set "
+                    "tpu.clip_text_weights/clip_vocab_json/clip_merges_txt"
+                )
 
         import dataclasses
 

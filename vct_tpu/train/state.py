@@ -115,6 +115,7 @@ def restore_params_only(path: str, template_variables: Dict[str, Any]) -> Dict[s
         "buffers": template_variables.get("buffers", {}),
     }
     restored = _checkpointer().restore(
-        os.path.abspath(path), args=ocp.args.PyTreeRestore(template)
+        os.path.abspath(path),
+        args=ocp.args.PyTreeRestore(template, partial_restore=True),
     )
     return restored
