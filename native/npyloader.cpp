@@ -1,0 +1,207 @@
+// Native batch loader: multi-threaded .npy feature reading + padded batch
+// assembly — the byte-moving hot path of the input pipeline.
+//
+// The reference delegates this work to torch DataLoader worker *processes*
+// (dataloader.py:513-532) with per-item np.load + per-batch pad/stack in
+// collate_fn (dataloader.py:233-276,507-510). Here one C call fills a
+// preallocated [N, max_t, E] rectangle with the pad mask, in parallel, with
+// no Python-object churn. Semantics mirror vct_tpu.data.collate.fit_time_axis
+// and datasets.load_feature exactly:
+//   * arrays stored (T, E) or (E, T); oriented so dim0 <= dim1 (the
+//     reference's transpose rule, dataloader.py:382-385),
+//   * leading/trailing singleton dims squeezed,
+//   * T > max_t: uniform subsample via trunc(linspace(0, T-1, max_t))
+//     (numpy linspace->astype(int32) truncates),
+//   * rows >= T zero-padded, mask True=pad (dataloader.py:246).
+//
+// Build: make -C native   (g++ -O3 -shared -fPIC)
+
+#include <atomic>
+#include <cstdint>
+#include <mutex>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct NpyInfo {
+  int64_t rows = 0;   // dim0 as stored
+  int64_t cols = 0;   // dim1 as stored
+  bool fortran = false;
+  bool f64 = false;   // '<f8' payload (converted to f32 on copy)
+  int64_t payload_off = 0;
+};
+
+// Parse an .npy v1.x/v2.x header. Returns empty string on success, else error.
+std::string parse_header(FILE* f, NpyInfo* info) {
+  unsigned char magic[8];
+  if (fread(magic, 1, 8, f) != 8) return "short read (magic)";
+  if (memcmp(magic, "\x93NUMPY", 6) != 0) return "bad magic";
+  int major = magic[6];
+  uint32_t hlen = 0;
+  if (major == 1) {
+    unsigned char b[2];
+    if (fread(b, 1, 2, f) != 2) return "short read (hlen)";
+    hlen = b[0] | (b[1] << 8);
+    info->payload_off = 10 + hlen;
+  } else {
+    unsigned char b[4];
+    if (fread(b, 1, 4, f) != 4) return "short read (hlen2)";
+    hlen = b[0] | (b[1] << 8) | (b[2] << 16) | (uint32_t(b[3]) << 24);
+    info->payload_off = 12 + hlen;
+  }
+  std::string hdr(hlen, '\0');
+  if (fread(&hdr[0], 1, hlen, f) != hlen) return "short read (header)";
+
+  auto find_val = [&](const char* key) -> std::string {
+    size_t p = hdr.find(key);
+    if (p == std::string::npos) return "";
+    p = hdr.find(':', p);
+    if (p == std::string::npos) return "";
+    size_t q = p + 1;
+    while (q < hdr.size() && hdr[q] == ' ') q++;
+    size_t end = q;
+    int depth = 0;
+    while (end < hdr.size()) {
+      char c = hdr[end];
+      if (c == '(' || c == '[') depth++;
+      if (c == ')' || c == ']') { if (depth == 0) break; depth--; if (depth == 0) { end++; break; } }
+      if ((c == ',' || c == '}') && depth == 0) break;
+      end++;
+    }
+    return hdr.substr(q, end - q);
+  };
+
+  std::string descr = find_val("'descr'");
+  if (descr.find("<f4") != std::string::npos) info->f64 = false;
+  else if (descr.find("<f8") != std::string::npos) info->f64 = true;
+  else return "unsupported dtype " + descr + " (want <f4 or <f8)";
+
+  info->fortran = find_val("'fortran_order'").find("True") != std::string::npos;
+
+  std::string shape = find_val("'shape'");
+  std::vector<int64_t> dims;
+  int64_t cur = -1;
+  for (char c : shape) {
+    if (c >= '0' && c <= '9') cur = (cur < 0 ? 0 : cur) * 10 + (c - '0');
+    else if (cur >= 0) { dims.push_back(cur); cur = -1; }
+  }
+  if (cur >= 0) dims.push_back(cur);
+  // squeeze singleton dims (datasets.load_feature does np.squeeze)
+  std::vector<int64_t> sq;
+  for (int64_t d : dims) if (d != 1) sq.push_back(d);
+  if (sq.empty() && !dims.empty()) sq.push_back(1);
+  if (sq.size() == 1) { sq.push_back(1); }  // (T,) -> (T, 1) is still an error below if e mismatches
+  if (sq.size() != 2) return "feature is not 2-D after squeeze";
+  info->rows = sq[0];
+  info->cols = sq[1];
+  return "";
+}
+
+// Load one file into out[max_t * e], mask[max_t]; returns error or "".
+std::string load_one(const char* path, int64_t max_t, int64_t e,
+                     float* out, uint8_t* mask, int32_t* t_out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return std::string("cannot open ") + path;
+  NpyInfo info;
+  std::string err = parse_header(f, &info);
+  if (!err.empty()) { fclose(f); return std::string(path) + ": " + err; }
+
+  // orient (T, E): transpose when dim0 > dim1 (reference rule). fortran_order
+  // flips the effective layout, which is the same as swapping dims.
+  int64_t d0 = info.rows, d1 = info.cols;
+  bool stored_te;  // payload laid out row-major as (T, E)?
+  int64_t t, ecols;
+  if (d0 > d1) { t = d1; ecols = d0; stored_te = false; }  // stored (E, T)
+  else { t = d0; ecols = d1; stored_te = true; }
+  if (info.fortran) stored_te = !stored_te;
+  if (ecols != e) {
+    fclose(f);
+    char buf[256];
+    snprintf(buf, sizeof buf, "%s: feature dim %lld != expected %lld",
+             path, (long long)ecols, (long long)e);
+    return buf;
+  }
+
+  int64_t n_elem = info.rows * info.cols;
+  size_t esize = info.f64 ? 8 : 4;
+  std::vector<unsigned char> raw(n_elem * esize);
+  if (fseek(f, (long)info.payload_off, SEEK_SET) != 0 ||
+      fread(raw.data(), 1, raw.size(), f) != raw.size()) {
+    fclose(f);
+    return std::string(path) + ": short payload";
+  }
+  fclose(f);
+
+  auto elem = [&](int64_t ti, int64_t ei) -> float {
+    int64_t idx = stored_te ? ti * e + ei : ei * t + ti;
+    if (info.f64) { double v; memcpy(&v, raw.data() + idx * 8, 8); return (float)v; }
+    float v; memcpy(&v, raw.data() + idx * 4, 4); return v;
+  };
+
+  memset(out, 0, sizeof(float) * max_t * e);
+  int64_t keep = t <= max_t ? t : max_t;
+  for (int64_t i = 0; i < keep; i++) {
+    // uniform subsample when t > max_t: trunc(i * (t-1) / (max_t-1))
+    int64_t ti = (t <= max_t) ? i
+        : (max_t == 1 ? 0 : (int64_t)((double)i * (double)(t - 1) / (double)(max_t - 1)));
+    if (stored_te && !info.f64) {
+      memcpy(out + i * e, raw.data() + ti * e * 4, e * 4);
+    } else {
+      for (int64_t j = 0; j < e; j++) out[i * e + j] = elem(ti, j);
+    }
+  }
+  for (int64_t i = 0; i < max_t; i++) mask[i] = i >= keep ? 1 : 0;
+  *t_out = (int32_t)keep;
+  return "";
+}
+
+}  // namespace
+
+extern "C" {
+
+// Fill out[n, max_t, e] float32 + mask[n, max_t] uint8 (1=pad) from n .npy
+// files in parallel. Returns 0 on success; on failure returns 1 and writes a
+// message into err_buf.
+int nl_load_padded(const char** paths, int64_t n, int64_t max_t, int64_t e,
+                   float* out, uint8_t* mask, int32_t* lengths,
+                   int n_threads, char* err_buf, int err_len) {
+  std::atomic<int64_t> next(0);
+  std::atomic<bool> failed(false);
+  std::string first_err;
+  std::mutex err_mu;
+
+  auto worker = [&]() {
+    while (true) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n || failed.load()) return;
+      std::string err = load_one(paths[i], max_t, e,
+                                 out + i * max_t * e, mask + i * max_t,
+                                 lengths + i);
+      if (!err.empty()) {
+        std::lock_guard<std::mutex> lk(err_mu);
+        if (!failed.exchange(true)) first_err = err;
+      }
+    }
+  };
+
+  int nt = n_threads > 0 ? n_threads : (int)std::thread::hardware_concurrency();
+  if (nt > n) nt = (int)n;
+  if (nt <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    for (int i = 0; i < nt; i++) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+  }
+  if (failed.load()) {
+    snprintf(err_buf, err_len, "%s", first_err.c_str());
+    return 1;
+  }
+  return 0;
+}
+
+}  // extern "C"

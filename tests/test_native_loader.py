@@ -1,0 +1,87 @@
+"""Native C++ batch loader: bit-exact parity with the Python collate path."""
+
+import numpy as np
+import pytest
+
+from vct_tpu.data import native
+from vct_tpu.data.collate import collate, fit_time_axis
+from vct_tpu.data.datasets import load_feature
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native loader not built (no compiler)"
+)
+
+E = 24
+
+
+@pytest.fixture(scope="module")
+def files(tmp_path_factory):
+    root = tmp_path_factory.mktemp("npy")
+    rng = np.random.default_rng(0)
+    cases = {
+        "te_short": rng.standard_normal((5, E)).astype(np.float32),      # (T,E), T<max
+        "te_exact": rng.standard_normal((8, E)).astype(np.float32),      # T==max
+        "te_long": rng.standard_normal((23, E)).astype(np.float32),      # subsample
+        "et_stored": rng.standard_normal((E, 7)).astype(np.float32),     # (E,T) stored
+        "f64": rng.standard_normal((6, E)),                               # <f8 payload
+        "squeeze": rng.standard_normal((1, 9, E)).astype(np.float32),    # leading 1-dim
+        "fortran": np.asfortranarray(rng.standard_normal((10, E)).astype(np.float32)),
+    }
+    paths = {}
+    for name, arr in cases.items():
+        p = root / f"{name}.npy"
+        np.save(p, arr)
+        paths[name] = str(p)
+    return paths
+
+
+def test_parity_all_layouts(files):
+    max_t = 8
+    paths = list(files.values())
+    feats, mask = native.load_padded_batch(paths, max_t, E)
+    assert feats.shape == (len(paths), max_t, E) and mask.shape == (len(paths), max_t)
+    for i, p in enumerate(paths):
+        ref_feat, ref_mask = fit_time_axis(load_feature(p), max_t)
+        np.testing.assert_array_equal(feats[i], ref_feat, err_msg=p)
+        np.testing.assert_array_equal(mask[i], ref_mask, err_msg=p)
+
+
+def test_wrong_dim_raises(files, tmp_path):
+    bad = tmp_path / "bad.npy"
+    np.save(bad, np.zeros((5, E + 3), np.float32))
+    with pytest.raises(IOError, match="feature dim"):
+        native.load_padded_batch([str(bad)], 8, E)
+
+
+def test_missing_file_raises(files):
+    with pytest.raises(IOError, match="cannot open"):
+        native.load_padded_batch(["/nope/missing.npy"], 8, E)
+
+
+def test_dataloader_native_matches_python(tmp_path):
+    from vct_tpu.data.datasets import MSVDDataset
+    from vct_tpu.data.loader import DataLoader
+
+    feat_dir = tmp_path / "feats"
+    feat_dir.mkdir()
+    rng = np.random.default_rng(1)
+    lines = []
+    for i in range(5):
+        t = int(rng.integers(3, 15))
+        np.save(feat_dir / f"vid{i}.npy", rng.standard_normal((t, E)).astype(np.float32))
+        lines.append(f"vid{i} caption number {i}")
+    (tmp_path / "ann.txt").write_text("\n".join(lines))
+
+    ds = MSVDDataset([str(feat_dir)], str(tmp_path / "ann.txt"),
+                     split_type="train", mode="by_caption")
+    kw = dict(max_frames=8, shuffle=False, prefetch=0)
+    batches_native = list(DataLoader(ds, 2, native=True, **kw))
+    batches_python = list(DataLoader(ds, 2, native=False, **kw))
+    assert len(batches_native) == len(batches_python) > 0
+    for bn, bp in zip(batches_native, batches_python):
+        assert bn.vids == bp.vids and bn.captions == bp.captions
+        assert bn.n_valid == bp.n_valid
+        for fn_, fp_ in zip(bn.feats, bp.feats):
+            np.testing.assert_array_equal(fn_, fp_)
+        for mn_, mp_ in zip(bn.masks, bp.masks):
+            np.testing.assert_array_equal(mn_, mp_)

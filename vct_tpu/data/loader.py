@@ -38,6 +38,7 @@ class DataLoader:
         drop_last: Optional[bool] = None,
         seed: int = 666,
         prefetch: int = 2,
+        native: Optional[bool] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -48,6 +49,11 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.epoch = 0
+        if native is None:  # auto: use the C++ batch loader when it builds
+            from vct_tpu.data import native as native_mod
+
+            native = native_mod.available()
+        self.native = native
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -67,6 +73,18 @@ class DataLoader:
         order = self._order()
         bs = self.batch_size
         limit = (len(order) // bs) * bs if self.drop_last else len(order)
+        if self.native:
+            from vct_tpu.data.native import collate_from_dataset
+
+            for start in range(0, limit, bs):
+                yield collate_from_dataset(
+                    self.dataset,
+                    order[start : start + bs],
+                    batch_size=bs,
+                    max_frames=self.max_frames,
+                    preprocessor=self.preprocessor,
+                )
+            return
         for start in range(0, limit, bs):
             idx = order[start : start + bs]
             items = [self.dataset[int(i)] for i in idx]

@@ -1,0 +1,147 @@
+"""ctypes bridge to the native batch loader (``native/npyloader.cpp``).
+
+The C library reads a batch's ``.npy`` feature files in parallel and fills a
+preallocated padded rectangle + pad mask in one call — replacing the
+per-item ``np.load`` + Python pad/stack loop (and standing in for the worker
+processes of the reference's torch ``DataLoader``, ``dataloader.py:513-532``).
+Falls back silently to the pure-Python path when the library can't be built
+(no compiler): ``available()`` gates every use.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parents[2] / "native"
+_SRC = _NATIVE_DIR / "npyloader.cpp"
+_LIB = _NATIVE_DIR / "libnpyloader.so"
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    if not _SRC.exists():
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return _LIB.exists()
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        stale = (
+            not _LIB.exists()
+            or (_SRC.exists() and _SRC.stat().st_mtime > _LIB.stat().st_mtime)
+        )
+        if stale and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError:
+            return None
+        lib.nl_load_padded.restype = ctypes.c_int
+        lib.nl_load_padded.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),  # paths
+            ctypes.c_int64,  # n
+            ctypes.c_int64,  # max_t
+            ctypes.c_int64,  # e
+            ctypes.POINTER(ctypes.c_float),  # out
+            ctypes.POINTER(ctypes.c_uint8),  # mask
+            ctypes.POINTER(ctypes.c_int32),  # lengths
+            ctypes.c_int,  # n_threads
+            ctypes.c_char_p,  # err_buf
+            ctypes.c_int,  # err_len
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def load_padded_batch(
+    paths: Sequence[str], max_t: int, e: int, n_threads: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """paths (one .npy per item) -> (feats [N, max_t, e] f32,
+    mask [N, max_t] bool True=pad). Exact ``fit_time_axis`` semantics."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    n = len(paths)
+    out = np.empty((n, max_t, e), np.float32)
+    mask = np.empty((n, max_t), np.uint8)
+    lengths = np.empty((n,), np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+    err = ctypes.create_string_buffer(512)
+    rc = lib.nl_load_padded(
+        c_paths, n, max_t, e,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_threads, err, len(err),
+    )
+    if rc != 0:
+        raise IOError(f"native loader: {err.value.decode()}")
+    return out, mask.astype(bool)
+
+
+def collate_from_dataset(dataset, indices, *, batch_size: int, max_frames: int,
+                         preprocessor=None):
+    """Native-path equivalent of ``collate(items, ...)``: resolves (caption,
+    vid, paths) host-side, loads + pads all files of the batch in C++."""
+    from vct_tpu.data.collate import Batch
+
+    rows: List[Tuple[str, str]] = []  # (caption, vid)
+    for i in indices:
+        if dataset.mode == "by_caption":
+            caption, vid = dataset.cap_vid_list[int(i)]
+        else:
+            caption, vid = "", dataset.video_ids[int(i)]
+        rows.append((caption, vid))
+    n_valid = len(rows)
+    rows = rows + [rows[0]] * (batch_size - n_valid)
+
+    feats: List[np.ndarray] = []
+    masks: List[np.ndarray] = []
+    dims = dataset.feature_dims if hasattr(dataset, "feature_dims") else None
+    for m in range(dataset.num_modal):
+        paths = [dataset.feature_paths(vid)[m] for _, vid in rows]
+        e = dims[m] if dims else _peek_dim(paths[0])
+        f, msk = load_padded_batch(paths, max_frames, e)
+        feats.append(f)
+        masks.append(msk)
+
+    captions = tuple(c for c, _ in rows)
+    vids = tuple(v for _, v in rows)
+    token_ids = token_mask = None
+    if preprocessor is not None:
+        token_ids, token_mask = preprocessor(captions)
+    return Batch(feats, masks, captions, vids, token_ids, token_mask, n_valid)
+
+
+def _peek_dim(path: str) -> int:
+    """Feature dim of one file (header-only read, oriented min(dims))."""
+    with open(path, "rb") as f:
+        version = np.lib.format.read_magic(f)
+        shape, _, _ = np.lib.format._read_array_header(f, version)
+    dims = [d for d in shape if d != 1]
+    return max(dims) if len(dims) == 2 else dims[-1]
