@@ -33,7 +33,10 @@ from __graft_entry__ import _batch, _flagship
 from vct_tpu.decode import make_greedy_fn
 from vct_tpu.models.mmt4caption import MMT4Caption
 
-B = 64
+# B=512 amortizes the fixed per-dispatch cost (measured sweep on v5e:
+# 64->1645, 128->3050, 256->5151, 512->6453 captions/s; the decode itself is
+# latency- not FLOP-bound at this model size).
+B = 512
 T = 12
 MAX_LEN = 30
 VOCAB = 30522

@@ -1,0 +1,132 @@
+"""Fused pixels->caption pipeline + predict-CLI raw-video path."""
+
+import json
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+cv2 = pytest.importorskip("cv2")
+import jax.numpy as jnp
+
+
+def _random_openai_clip_sd(rng, width=768, layers=12, patch=32, out=512):
+    """Random ViT-B/32 visual state_dict in OpenAI key format."""
+    sd = {
+        "visual.conv1.weight": rng.standard_normal((width, 3, patch, patch)) * 0.02,
+        "visual.class_embedding": rng.standard_normal((width,)) * 0.02,
+        "visual.positional_embedding": rng.standard_normal((50, width)) * 0.01,
+        "visual.ln_pre.weight": np.ones(width), "visual.ln_pre.bias": np.zeros(width),
+        "visual.ln_post.weight": np.ones(width), "visual.ln_post.bias": np.zeros(width),
+        "visual.proj": rng.standard_normal((width, out)) * 0.02,
+    }
+    for i in range(layers):
+        p = f"visual.transformer.resblocks.{i}"
+        sd.update({
+            f"{p}.ln_1.weight": np.ones(width), f"{p}.ln_1.bias": np.zeros(width),
+            f"{p}.ln_2.weight": np.ones(width), f"{p}.ln_2.bias": np.zeros(width),
+            f"{p}.attn.in_proj_weight": rng.standard_normal((3 * width, width)) * 0.02,
+            f"{p}.attn.in_proj_bias": np.zeros(3 * width),
+            f"{p}.attn.out_proj.weight": rng.standard_normal((width, width)) * 0.02,
+            f"{p}.attn.out_proj.bias": np.zeros(width),
+            f"{p}.mlp.c_fc.weight": rng.standard_normal((4 * width, width)) * 0.02,
+            f"{p}.mlp.c_fc.bias": np.zeros(4 * width),
+            f"{p}.mlp.c_proj.weight": rng.standard_normal((width, 4 * width)) * 0.02,
+            f"{p}.mlp.c_proj.bias": np.zeros(width),
+        })
+    return {k: np.asarray(v, np.float32) for k, v in sd.items()}
+
+
+def _write_video(path, n_frames=40):
+    w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"MJPG"), 25.0, (160, 120))
+    for i in range(n_frames):
+        f = np.zeros((120, 160, 3), np.uint8)
+        cv2.rectangle(f, (i * 2, 30), (i * 2 + 30, 70), (0, 200, 255), -1)
+        w.write(f)
+    w.release()
+
+
+def test_fused_video_caption_fn():
+    """CLIP tower + captioner fuse into one jitted program."""
+    from vct_tpu.clip.vision import CLIPVisionTower
+    from vct_tpu.config import ModelConfig, TPUConfig
+    from vct_tpu.models.mmt4caption import MMT4Caption
+    from vct_tpu.pipeline import make_video_caption_fn
+
+    tower = CLIPVisionTower(width=64, layers=1, heads=2, out_dim=16)
+    mcfg = ModelConfig.from_dict({
+        "modal": ["CLIP4Clip"], "modal_shape": [16], "embed_dim": 32,
+        "dropout": 0.0, "vocab_size": 40,
+        "video_encoder": {"layer": 1, "nhead": 2, "feedforward": 64,
+                          "mme": {"temporal": "encoding", "aggregation": "avg"}},
+        "caption_decoder": {"layer": 1, "nhead": 2, "feedforward": 64},
+    })
+    model = MMT4Caption(mcfg, TPUConfig(dtype="float32"))
+
+    rng = np.random.default_rng(0)
+    n, t = 2, 4
+    pixels = jnp.asarray(rng.standard_normal((n, t, 224, 224, 3)), jnp.float32)
+    clip_params = tower.init(jax.random.PRNGKey(0), pixels[0])["params"]
+    feats = [jnp.zeros((n, t, 16), jnp.float32)]
+    masks = [jnp.zeros((n, t), bool)]
+    caps = jnp.full((n, 8), 0, jnp.int32).at[:, 0].set(2)
+    variables = model.init(jax.random.PRNGKey(1), feats, masks, caps, caps == 0,
+                           method=MMT4Caption.caption_loss)
+
+    fn = make_video_caption_fn(model, tower, max_len=8, start_id=2, end_id=3)
+    tokens, _ = fn(variables, clip_params, pixels)
+    assert tokens.shape == (n, 8)
+    assert (np.asarray(tokens)[:, 0] == 2).all()
+    # deterministic: same pixels -> same tokens
+    tokens2, _ = fn(variables, clip_params, pixels)
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(tokens2))
+
+
+def test_predict_cli_raw_video(tmp_path):
+    """predict -v: host decode -> fused CLIP+captioner -> caption string."""
+    from vct_tpu.cli.predict import main
+
+    _write_video(tmp_path / "in.avi")
+    np.savez(tmp_path / "clip.npz", **_random_openai_clip_sd(np.random.default_rng(0)))
+
+    # reuse the tiny-config workspace pattern from test_cli
+    feat_dir = tmp_path / "feats"; feat_dir.mkdir()
+    rng = np.random.default_rng(1)
+    lines = []
+    for i in range(3):
+        np.save(feat_dir / f"vid{i}.npy", rng.standard_normal((5, 512)).astype(np.float32))
+        lines.append(f"vid{i} a thing moves {i}")
+    (tmp_path / "ann.txt").write_text("\n".join(lines))
+    (tmp_path / "vocab.txt").write_text(
+        "\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+                   "a", "thing", "moves", "0", "1", "2"]))
+    split = {"feat_dir": [str(feat_dir)], "annotation_path": str(tmp_path / "ann.txt"),
+             "dataset": "msvd", "mode": "by_caption", "split_mode": "train",
+             "batch_size": 2}
+    cfg = {
+        "data": {"train": split, "eval": dict(split, mode="by_video",
+                                              split_mode="validate")},
+        "train": {"task": "caption", "optimizer": {"name": "adam", "learning_rate": 1e-3},
+                  "epoch": 1, "save_dir": str(tmp_path / "ckpt"),
+                  "log_dir": str(tmp_path / "log"), "tag": "t"},
+        "test": {"max_length": 8},
+        "model": {"modal": ["CLIP4Clip"], "modal_shape": [512], "embed_dim": 32,
+                  "dropout": 0.1, "activation": "gelu",
+                  "video_encoder": {"layer": 1, "nhead": 2, "feedforward": 64,
+                                    "mme": {"temporal": "encoding", "aggregation": "avg"}},
+                  "caption_decoder": {"layer": 1, "nhead": 2, "feedforward": 64}},
+        "tpu": {"max_frames": 5, "max_caption_len": 10, "dtype": "float32",
+                "mesh_data": 1, "vocab_path": str(tmp_path / "vocab.txt")},
+    }
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+
+    # make a checkpoint by training one step-free save: use the Trainer save path
+    from vct_tpu.config import load_config
+    from vct_tpu.train.loop import Trainer
+
+    trainer = Trainer(load_config(str(tmp_path / "config.json")), log=lambda *_: None)
+    ckpt = trainer.save("_e0", 0)
+
+    main(["-c", str(tmp_path / "config.json"), "-m", ckpt,
+          "-v", str(tmp_path / "in.avi"), "--ext_type", "uni_4",
+          "--clip_weights", str(tmp_path / "clip.npz"), "--greedy"])

@@ -55,32 +55,19 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def extract_features(video_path: str, ext_type: str, clip_weights: str) -> np.ndarray:
-    """Raw video -> [1, T, 512] CLIP features, fully in-process (replaces
-    ``extract_feat``/ExtractCLIP, ``predict_video.py:21-38``)."""
-    import jax
-    import jax.numpy as jnp
-
-    from vct_tpu.clip import CLIPVisionTower, preprocess_frames, sample_frames
+def load_clip_params(clip_weights: str):
     from vct_tpu.clip.convert import convert_clip
-
-    frames = sample_frames(video_path, ext_type)
-    pixels = preprocess_frames(frames)
 
     if clip_weights is None:
         raise SystemExit("-v needs --clip_weights (CLIP ViT-B/32 state dict); "
                          "or precompute features and use -f")
     if clip_weights.endswith(".npz"):
-        flat = dict(np.load(clip_weights))
-        sd = {k: np.asarray(v) for k, v in flat.items()}
+        sd = {k: np.asarray(v) for k, v in np.load(clip_weights).items()}
     else:
         from vct_tpu.convert import load_torch_state_dict
 
         sd = load_torch_state_dict(clip_weights)
-    tower = CLIPVisionTower()
-    params = convert_clip(sd)
-    feats = jax.jit(tower.apply)({"params": params}, jnp.asarray(pixels))
-    return np.asarray(feats)[None]  # [1, T, 512]
+    return convert_clip(sd)
 
 
 def predict(cfg, args, log=print) -> str:
@@ -89,15 +76,43 @@ def predict(cfg, args, log=print) -> str:
     ``args.vis_attn``."""
     import jax.numpy as jnp
 
-    from vct_tpu.decode import detokenize_batch, make_beam_fn, make_greedy_fn
+    from vct_tpu.decode import detokenize_batch as detokenize_list
+    from vct_tpu.decode import make_beam_fn, make_greedy_fn
 
     model, tokenizer, variables = make_trainer_pieces(cfg)
     variables = load_checkpoint_into(variables, args.model, log=log)
 
     if args.video:
-        feats = [extract_features(args.video, args.ext_type, args.clip_weights)]
-    else:
-        feats, _ = load_feature_files(args.features)
+        # fused pixels->caption: CLIP tower + captioner in ONE jitted program
+        import jax
+        import jax.numpy as jnp
+
+        from vct_tpu.clip import CLIPVisionTower, preprocess_frames, sample_frames
+        from vct_tpu.pipeline import make_video_caption_fn
+
+        beam = getattr(args, "beam", None)
+        if beam:
+            raise SystemExit("-v uses the fused greedy path; --beam needs -f features")
+        tower_dim = 512  # CLIP ViT-B/32 joint-space dim
+        if len(cfg.model.modal) != 1 or cfg.model.modal_shape[0] != tower_dim:
+            raise SystemExit(
+                f"-v produces one CLIP modality of dim {tower_dim}; config has "
+                f"modal={cfg.model.modal} modal_shape={cfg.model.modal_shape}"
+            )
+        clip_params = load_clip_params(args.clip_weights)
+        frames = sample_frames(args.video, args.ext_type)
+        pixels = jnp.asarray(preprocess_frames(frames))[None]
+        fn = make_video_caption_fn(
+            model, CLIPVisionTower(), max_len=cfg.test.max_length,
+            start_id=tokenizer.start_id, end_id=tokenizer.end_id,
+            collect_attn=bool(args.vis_attn),
+        )
+        tokens, attn = fn(variables, clip_params, pixels)
+        caption = detokenize_list(tokenizer, tokens)[0]
+        predict.attn = np.asarray(attn) if (args.vis_attn and attn is not None) else None
+        predict.tokens = np.asarray(tokens)[0]
+        return caption
+    feats, _ = load_feature_files(args.features)
     if len(feats) != len(cfg.model.modal):
         raise SystemExit(f"config expects {len(cfg.model.modal)} modalities, "
                          f"got {len(feats)} feature inputs")
@@ -117,7 +132,7 @@ def predict(cfg, args, log=print) -> str:
 
     out = fn(variables, [jnp.asarray(f) for f in feats], [jnp.asarray(m) for m in masks])
     tokens, attn = out[0], (out[1] if len(out) > 1 else None)
-    caption = detokenize_batch(tokenizer, tokens)[0]
+    caption = detokenize_list(tokenizer, tokens)[0]
     predict.attn = np.asarray(attn) if (collect_attn and attn is not None) else None
     predict.tokens = np.asarray(tokens)[0]
     return caption

@@ -1,0 +1,88 @@
+"""Fused video→caption inference: CLIP frame encoding + multi-modal encoder +
+KV-cached greedy decode as ONE jitted XLA program.
+
+The reference runs this as three separate systems — an ``ExtractCLIP``
+subprocess for features (``predict_video.py:34-38``), then the captioner's
+encoder, then a host-looped greedy decode (``MMT4Caption.py:146-184``). Here
+the pixels→caption path is a single compiled program: XLA fuses the CLIP
+tower's final projection into the captioner's input linear, nothing round-
+trips to host between stages, and the whole thing batches over videos.
+
+Host side keeps only what must be host work: video decode + frame sampling
+(``vct_tpu.clip.frames``) and detokenization.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vct_tpu.clip.vision import CLIPVisionTower, preprocess_frames
+from vct_tpu.decode import greedy_generate
+from vct_tpu.models.mmt4caption import MMT4Caption
+
+
+def make_video_caption_fn(
+    model: MMT4Caption,
+    tower: CLIPVisionTower,
+    *,
+    max_len: int = 30,
+    start_id: int = 101,
+    end_id: int = 102,
+    collect_attn: bool = False,
+) -> Callable:
+    """-> jit fn(variables, clip_params, pixels [N, T, 224, 224, 3]) ->
+    (tokens [N, max_len], attn or None). One XLA program, pixels to tokens."""
+
+    @jax.jit
+    def fn(variables, clip_params, pixels):
+        n, t = pixels.shape[:2]
+        flat = pixels.reshape((n * t,) + pixels.shape[2:])
+        feats = tower.apply({"params": clip_params}, flat)
+        feats = feats.reshape(n, t, feats.shape[-1]).astype(jnp.float32)
+        masks = [jnp.zeros((n, t), bool)]
+        return greedy_generate(
+            model, variables, [feats], masks,
+            max_len=max_len, start_id=start_id, end_id=end_id,
+            collect_attn=collect_attn,
+        )
+
+    return fn
+
+
+def caption_videos(
+    video_paths: List[str],
+    *,
+    model: MMT4Caption,
+    tower: CLIPVisionTower,
+    variables,
+    clip_params,
+    tokenizer,
+    ext_type: str = "uni_12",
+    max_len: int = 30,
+) -> List[str]:
+    """End-to-end batch: decode+sample frames on host, one fused device call,
+    detokenize. All videos must yield the same frame count (uni_N/tsn_N do)."""
+    from vct_tpu.clip.frames import sample_frames
+    from vct_tpu.decode import detokenize_batch
+
+    pixel_batches = []
+    for p in video_paths:
+        frames = sample_frames(p, ext_type)
+        pixel_batches.append(preprocess_frames(frames))
+    t = pixel_batches[0].shape[0]
+    if any(pb.shape[0] != t for pb in pixel_batches):
+        raise ValueError(
+            f"fused batch needs a fixed frame count; use uni_N/tsn_N (got "
+            f"{[pb.shape[0] for pb in pixel_batches]})"
+        )
+    pixels = jnp.asarray(np.stack(pixel_batches))
+    fn = make_video_caption_fn(
+        model, tower, max_len=max_len,
+        start_id=tokenizer.start_id, end_id=tokenizer.end_id,
+    )
+    tokens, _ = fn(variables, clip_params, pixels)
+    return detokenize_batch(tokenizer, tokens)

@@ -215,11 +215,15 @@ class Trainer:
         return dict(scorer.score(gts, samples, ids))
 
     def decode_split(self, loader: DataLoader) -> Dict[str, str]:
+        """Decode data-parallel over the whole mesh — every chip decodes its
+        batch shard, unlike the reference's rank-0-only eval bottleneck
+        (``train.py:248-249``, SURVEY.md §5). Requires batch % mesh_data == 0,
+        which ``collate``'s fixed rectangles guarantee."""
         variables = {"params": self.state.params, "buffers": self.state.buffers}
         vid2result: Dict[str, str] = {}
         for batch in loader:
-            feats = [jnp.asarray(f) for f in batch.feats]
-            masks = [jnp.asarray(m) for m in batch.masks]
+            feats = self._shard(list(batch.feats))
+            masks = self._shard(list(batch.masks))
             tokens, _ = self.greedy_fn(variables, feats, masks)
             caps = detokenize_batch(self.tokenizer, tokens)
             for vid, cap in list(zip(batch.vids, caps))[: batch.n_valid]:
