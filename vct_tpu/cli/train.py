@@ -25,6 +25,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", type=str, default=None,
                    help="orbax checkpoint to resume (optimizer+epoch included)")
     p.add_argument("--no_tensorboard", action="store_true")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the first train epoch "
+                        "to DIR (view with TensorBoard/Perfetto)")
     add_device_args(p)
     return p
 
@@ -58,6 +61,15 @@ def main(argv=None) -> None:
     trainer = Trainer(cfg, writer=writer)
     if args.resume:
         trainer.resume(args.resume)
+    if args.profile:
+        # Tracing/profiling: the aux subsystem the reference lacks entirely
+        # (SURVEY.md §5). One epoch is enough to see the step breakdown.
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+        trainer.train_epoch(trainer.start_epoch)
+        jax.profiler.stop_trace()
+        print(f"profile trace written to {args.profile}")
     scores = trainer.fit()
     if writer is not None:
         writer.close()
