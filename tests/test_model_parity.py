@@ -173,3 +173,44 @@ def test_decode_word_matches_torch_incremental(rng):
         variables, mem, jnp.asarray(prefix), method=MMT4Caption.decode_word
     )
     np.testing.assert_allclose(np.asarray(logits), t_logits.numpy(), atol=ATOL)
+
+
+def test_greedy_tokens_match_torch_loop(rng):
+    """Full greedy parity: the reference's host loop (full-prefix re-run per
+    token + argmax, ``MMT4Caption.py:146-172``) and our jitted KV-cached
+    ``lax.while_loop`` must emit IDENTICAL token sequences from the same
+    (converted) weights."""
+    from vct_tpu.decode import make_greedy_fn
+
+    torch.manual_seed(11)
+    tm = TorchFull()
+    tm.eval()
+    feats, pad, _, _ = make_batch(rng)
+    start_id, end_id, max_len = 2, 1, 12
+
+    model, variables = build_converted(tm, quirk_no_memory_mask=True)
+    greedy = make_greedy_fn(model, max_len, start_id, end_id)
+    ours = np.asarray(greedy(variables, [jnp.asarray(feats)], [jnp.asarray(pad)])[0])
+
+    with torch.no_grad():
+        t_mem, _, _ = tm.video_encoder(torch.tensor(feats), torch.tensor(pad))
+        ys = torch.full((B, 1), start_id, dtype=torch.long)
+        done = np.zeros(B, bool)
+        for _ in range(max_len - 1):
+            x = tm.cap_decoder.embed(ys)
+            outs = tm.cap_decoder.decoder(
+                x, t_mem, tgt_mask=torch_ref.causal_mask(ys.shape[1])
+            )
+            nxt = tm.cap_decoder.generator(outs[:, -1]).argmax(-1)
+            ys = torch.cat([ys, nxt[:, None]], dim=1)
+            done |= nxt.numpy() == end_id
+
+    theirs = ys.numpy()
+    for b in range(B):
+        # compare up to and including the first end token (the reference
+        # keeps appending to finished rows; ours freezes them — both truncate
+        # at the first [SEP] downstream, MMT4Caption.py:174-183)
+        row_t = theirs[b]
+        stop = np.where(row_t == end_id)[0]
+        upto = int(stop[0]) + 1 if len(stop) else max_len
+        np.testing.assert_array_equal(ours[b, :upto], row_t[:upto], err_msg=f"row {b}")

@@ -67,7 +67,10 @@ def load_clip_params(clip_weights: str):
         from vct_tpu.convert import load_torch_state_dict
 
         sd = load_torch_state_dict(clip_weights)
-    return convert_clip(sd)
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(jnp.asarray, convert_clip(sd))
 
 
 def predict(cfg, args, log=print) -> str:

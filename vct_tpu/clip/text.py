@@ -316,6 +316,28 @@ def _hf_text_to_openai(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
+def infer_text_tower_kwargs(sd: Dict[str, np.ndarray]) -> dict:
+    """Tower shape from a (OpenAI-format) text state_dict: works for ViT-B/32
+    and any resized variant (tests use tiny towers). Heads follow the CLIP
+    convention d_head=64, floor 1."""
+    if "token_embedding.weight" not in sd and any(
+        k.startswith("text_model.") for k in sd
+    ):
+        sd = _hf_text_to_openai(sd)
+    vocab, width = sd["token_embedding.weight"].shape
+    layers = 0
+    while f"transformer.resblocks.{layers}.ln_1.weight" in sd:
+        layers += 1
+    return dict(
+        vocab_size=int(vocab),
+        width=int(width),
+        layers=layers,
+        heads=max(1, int(width) // 64),
+        context_length=int(sd["positional_embedding"].shape[0]),
+        out_dim=int(sd["text_projection"].shape[1]),
+    )
+
+
 def build_text_encoder(
     text_enc_type: str,
     *,
@@ -323,10 +345,12 @@ def build_text_encoder(
     vocab_json: Optional[str] = None,
     merges_txt: Optional[str] = None,
     batch_pad: int = 64,
+    tower_kwargs: Optional[dict] = None,
 ) -> Callable[[List[str]], np.ndarray]:
     """-> callable ``List[str] -> [B, dim] float32`` (reference
     ``TextEncoder.__call__``). CLIP runs jitted on-device with the batch
-    padded to ``batch_pad`` for a single compiled shape."""
+    padded to ``batch_pad`` for a single compiled shape. ``tower_kwargs``
+    overrides the ViT-B/32 text-tower shape (tests use tiny towers)."""
     if "CLIP" in text_enc_type:
         if not (clip_weights and vocab_json and merges_txt):
             raise ValueError(
@@ -339,8 +363,12 @@ def build_text_encoder(
             from vct_tpu.convert import load_torch_state_dict
 
             sd = load_torch_state_dict(clip_weights)
-        params = convert_clip_text(sd)
-        tower = CLIPTextTower()
+        if tower_kwargs is None:
+            tower_kwargs = infer_text_tower_kwargs(sd)
+        tower = CLIPTextTower(**tower_kwargs)
+        params = jax.tree_util.tree_map(
+            jnp.asarray, convert_clip_text(sd, layers=tower.layers)
+        )
         apply = jax.jit(lambda toks: tower.apply({"params": params}, toks))
 
         def encode(captions: List[str]) -> np.ndarray:
