@@ -140,3 +140,33 @@ def test_build_dataset_factory(msvd_root):
     ds, loader = build_dataloader(cfg, TPUConfig(max_frames=T_FRAMES))
     assert loader.shuffle
     assert isinstance(ds, MSVDDataset)
+
+
+def test_vatex_dataset(tmp_path):
+    """VATEX: JSON list of {videoID, enCap}, features keyed by the 11-char
+    YouTube-id prefix of the file stem (reference dataloader.py:114-151)."""
+    import json as _json
+
+    from vct_tpu.data.datasets import VATEXDataset
+
+    feat_dir = tmp_path / "feats"
+    feat_dir.mkdir()
+    rng = np.random.default_rng(0)
+    # stems carry start/end suffixes like real VATEX clips
+    stems = ["abcdefghijk_000010_000020", "LMNOPQRSTUV_000000_000010"]
+    for s in stems:
+        np.save(feat_dir / f"{s}.npy", rng.standard_normal((4, 8)).astype(np.float32))
+    ann = [
+        {"videoID": "abcdefghijk_000010_000020", "enCap": ["a cat sits", "a cat rests"]},
+        {"videoID": "LMNOPQRSTUV_000000_000010", "enCap": ["a dog runs"]},
+        {"videoID": "notinfeats0_000000_000010", "enCap": ["missing video"]},
+    ]
+    (tmp_path / "ann.json").write_text(_json.dumps(ann))
+
+    ds = VATEXDataset([str(feat_dir)], str(tmp_path / "ann.json"),
+                      split_type="train", mode="by_caption")
+    assert len(ds) == 3  # 2 + 1 captions; the missing video contributes none
+    feats, cap, vid = ds[0]
+    assert feats[0].shape == (4, 8) and isinstance(cap, str) and vid in stems
+    gt = ds.video2caption
+    assert sorted(map(len, gt.values())) == [1, 2]
