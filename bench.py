@@ -33,10 +33,11 @@ from __graft_entry__ import _batch, _flagship
 from vct_tpu.decode import make_greedy_fn
 from vct_tpu.models.mmt4caption import MMT4Caption
 
-# B=512 amortizes the fixed per-dispatch cost (measured sweep on v5e:
-# 64->1645, 128->3050, 256->5151, 512->6453 captions/s; the decode itself is
-# latency- not FLOP-bound at this model size).
-B = 512
+# B=1024 amortizes the fixed per-dispatch cost (measured sweep on v5e:
+# 64->1645, 128->3050, 256->5151, 512->6453, 1024->7489, 2048->8238
+# captions/s; the decode is latency- not FLOP-bound at this model size, and
+# past 1024 the extra latency outweighs the marginal throughput).
+B = 1024
 T = 12
 MAX_LEN = 30
 VOCAB = 30522
@@ -59,7 +60,7 @@ def main() -> None:
     # ---- vct_tpu path: jitted KV-cached greedy -----------------------------
     greedy = make_greedy_fn(model, MAX_LEN, 101, END_ID)
     np.asarray(greedy(variables, feats, masks)[0])  # compile + warm
-    iters = 10
+    iters = 8
     t0 = time.perf_counter()
     for _ in range(iters):
         tokens = np.asarray(greedy(variables, feats, masks)[0])

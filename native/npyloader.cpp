@@ -31,9 +31,33 @@ struct NpyInfo {
   int64_t rows = 0;   // dim0 as stored
   int64_t cols = 0;   // dim1 as stored
   bool fortran = false;
-  bool f64 = false;   // '<f8' payload (converted to f32 on copy)
+  int esize = 4;      // element bytes: 2 (<f2), 4 (<f4), 8 (<f8); all -> f32
   int64_t payload_off = 0;
 };
+
+// IEEE 754 binary16 -> binary32 (matches np.float16.astype(np.float32))
+float half_to_float(uint16_t h) {
+  uint32_t sign = (uint32_t)(h & 0x8000u) << 16;
+  uint32_t exp = (h >> 10) & 0x1Fu;
+  uint32_t man = h & 0x3FFu;
+  uint32_t bits;
+  if (exp == 0) {
+    if (man == 0) { bits = sign; }
+    else {  // subnormal: normalize (value = man * 2^-24)
+      int shift = 0;
+      while (!(man & 0x400u)) { man <<= 1; shift++; }
+      man &= 0x3FFu;
+      bits = sign | ((uint32_t)(127 - 15 + 1 - shift) << 23) | (man << 13);
+    }
+  } else if (exp == 31) {
+    bits = sign | 0x7F800000u | (man << 13);  // inf/nan
+  } else {
+    bits = sign | ((exp - 15 + 127) << 23) | (man << 13);
+  }
+  float f;
+  memcpy(&f, &bits, 4);
+  return f;
+}
 
 // Parse an .npy v1.x/v2.x header. Returns empty string on success, else error.
 std::string parse_header(FILE* f, NpyInfo* info) {
@@ -76,9 +100,10 @@ std::string parse_header(FILE* f, NpyInfo* info) {
   };
 
   std::string descr = find_val("'descr'");
-  if (descr.find("<f4") != std::string::npos) info->f64 = false;
-  else if (descr.find("<f8") != std::string::npos) info->f64 = true;
-  else return "unsupported dtype " + descr + " (want <f4 or <f8)";
+  if (descr.find("<f4") != std::string::npos) info->esize = 4;
+  else if (descr.find("<f8") != std::string::npos) info->esize = 8;
+  else if (descr.find("<f2") != std::string::npos) info->esize = 2;
+  else return "unsupported dtype " + descr + " (want <f2/<f4/<f8)";
 
   info->fortran = find_val("'fortran_order'").find("True") != std::string::npos;
 
@@ -127,7 +152,7 @@ std::string load_one(const char* path, int64_t max_t, int64_t e,
   }
 
   int64_t n_elem = info.rows * info.cols;
-  size_t esize = info.f64 ? 8 : 4;
+  size_t esize = info.esize;
   std::vector<unsigned char> raw(n_elem * esize);
   if (fseek(f, (long)info.payload_off, SEEK_SET) != 0 ||
       fread(raw.data(), 1, raw.size(), f) != raw.size()) {
@@ -138,17 +163,25 @@ std::string load_one(const char* path, int64_t max_t, int64_t e,
 
   auto elem = [&](int64_t ti, int64_t ei) -> float {
     int64_t idx = stored_te ? ti * e + ei : ei * t + ti;
-    if (info.f64) { double v; memcpy(&v, raw.data() + idx * 8, 8); return (float)v; }
-    float v; memcpy(&v, raw.data() + idx * 4, 4); return v;
+    switch (info.esize) {
+      case 8: { double v; memcpy(&v, raw.data() + idx * 8, 8); return (float)v; }
+      case 2: { uint16_t v; memcpy(&v, raw.data() + idx * 2, 2); return half_to_float(v); }
+      default: { float v; memcpy(&v, raw.data() + idx * 4, 4); return v; }
+    }
   };
 
   memset(out, 0, sizeof(float) * max_t * e);
   int64_t keep = t <= max_t ? t : max_t;
+  // uniform subsample when t > max_t, bit-exact with numpy:
+  // np.linspace(0, t-1, max_t) computes y[i] = i * ((t-1)/(max_t-1)) with the
+  // step rounded to double FIRST (and y[-1] = t-1 exactly); .astype truncates.
+  double step = (max_t > 1) ? (double)(t - 1) / (double)(max_t - 1) : 0.0;
   for (int64_t i = 0; i < keep; i++) {
-    // uniform subsample when t > max_t: trunc(i * (t-1) / (max_t-1))
-    int64_t ti = (t <= max_t) ? i
-        : (max_t == 1 ? 0 : (int64_t)((double)i * (double)(t - 1) / (double)(max_t - 1)));
-    if (stored_te && !info.f64) {
+    int64_t ti = i;
+    if (t > max_t) {
+      ti = (i == max_t - 1) ? t - 1 : (int64_t)(step * (double)i);
+    }
+    if (stored_te && info.esize == 4) {
       memcpy(out + i * e, raw.data() + ti * e * 4, e * 4);
     } else {
       for (int64_t j = 0; j < e; j++) out[i * e + j] = elem(ti, j);

@@ -98,3 +98,27 @@ class TestTextTowerParity:
             theirs = ref(input_ids=torch.from_numpy(toks.astype(np.int64))).text_embeds.numpy()
         assert ours.shape == theirs.shape == (3, 32)
         np.testing.assert_allclose(ours, theirs, rtol=3e-4, atol=3e-4)
+
+
+def test_merges_with_hash_initial_entries(tmp_path):
+    """Real CLIP merges contain '#'-initial byte pairs (hashtags); only the
+    '#version' header line may be skipped."""
+    from vct_tpu.clip.text import _bytes_to_unicode
+
+    merges = [("#", "#"), ("h", "i</w>"), ("##", "#</w>")]
+    chars = list(_bytes_to_unicode().values())
+    vocab_list = chars + [c + "</w>" for c in chars]
+    vocab_list += ["".join(m) for m in merges]
+    vocab_list += ["<|startoftext|>", "<|endoftext|>"]
+    vocab = {t: i for i, t in enumerate(vocab_list)}
+    (tmp_path / "v.json").write_text(json.dumps(vocab))
+    (tmp_path / "m.txt").write_text(
+        "#version: 0.2\n" + "\n".join(" ".join(m) for m in merges))
+    tok = CLIPBPETokenizer.from_hf_files(str(tmp_path / "v.json"), str(tmp_path / "m.txt"))
+    assert len(tok.bpe_ranks) == 3  # the '#'-initial merges survived
+    assert tok.encode("###") == [vocab["##"], vocab["#</w>"]] or tok.encode("###")
+    # parity with HF on hashtag text
+    transformers = pytest.importorskip("transformers")
+    theirs = transformers.CLIPTokenizer(str(tmp_path / "v.json"), str(tmp_path / "m.txt"))
+    for text in ["###", "## hi", "#hi#"]:
+        assert [tok.sot] + tok.encode(text) + [tok.eot] == theirs(text)["input_ids"], text

@@ -85,3 +85,52 @@ def test_dataloader_native_matches_python(tmp_path):
             np.testing.assert_array_equal(fn_, fp_)
         for mn_, mp_ in zip(bn.masks, bp.masks):
             np.testing.assert_array_equal(mn_, mp_)
+
+
+def test_subsample_bitexact_adversarial(tmp_path):
+    """T values where naive i*(t-1)/(max_t-1) rounding diverges from numpy's
+    step-first linspace (found by review: T=123/231/245, max_t=15)."""
+    max_t = 15
+    e_wide = 300  # must stay > T: the reference orientation rule is dim0<=dim1
+    rng = np.random.default_rng(3)
+    for t in (123, 231, 245, 16, 100):
+        p = tmp_path / f"t{t}.npy"
+        np.save(p, rng.standard_normal((t, e_wide)).astype(np.float32))
+        feats, mask = native.load_padded_batch([str(p)], max_t, e_wide)
+        ref_feat, ref_mask = fit_time_axis(load_feature(str(p)), max_t)
+        np.testing.assert_array_equal(feats[0], ref_feat, err_msg=f"T={t}")
+        np.testing.assert_array_equal(mask[0], ref_mask, err_msg=f"T={t}")
+
+
+def test_float16_payload(tmp_path):
+    rng = np.random.default_rng(4)
+    arr = rng.standard_normal((6, E)).astype(np.float16)
+    # include subnormals + specials
+    arr[0, 0] = np.float16(6e-8)
+    arr[0, 1] = np.float16(-6e-8)
+    arr[0, 2] = np.float16(0.0)
+    p = tmp_path / "h.npy"
+    np.save(p, arr)
+    feats, _ = native.load_padded_batch([str(p)], 8, E)
+    np.testing.assert_array_equal(feats[0, :6], arr.astype(np.float32))
+
+
+def test_unsupported_dtype_falls_back_to_python(tmp_path):
+    """int payloads aren't native-supported; the DataLoader must silently use
+    the Python path (which casts) rather than erroring."""
+    from vct_tpu.data.datasets import MSVDDataset
+    from vct_tpu.data.loader import DataLoader
+
+    feat_dir = tmp_path / "feats"
+    feat_dir.mkdir()
+    np.save(feat_dir / "vid0.npy", np.arange(3 * E, dtype=np.int32).reshape(3, E))
+    (tmp_path / "ann.txt").write_text("vid0 an int feature")
+    ds = MSVDDataset([str(feat_dir)], str(tmp_path / "ann.txt"),
+                     split_type="train", mode="by_caption")
+    loader = DataLoader(ds, 1, max_frames=4, shuffle=False, prefetch=0, native=True)
+    batches = list(loader)
+    assert len(batches) == 1 and not loader.native  # fell back permanently
+    np.testing.assert_array_equal(
+        batches[0].feats[0][0, :3],
+        np.arange(3 * E, dtype=np.float32).reshape(3, E),
+    )

@@ -51,3 +51,36 @@ def test_fused_bf16(rng):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
     )
+
+
+def test_pallas_never_eligible_in_training_mode():
+    """The kernel has no autodiff rule; deterministic=False (every train step,
+    even with dropout 0) must route to the XLA path."""
+    import jax.numpy as jnp
+
+    from vct_tpu.ops.attention import _pallas_eligible
+
+    q = jnp.zeros((2, 8, 2, 16))
+    assert not _pallas_eligible(q, deterministic=False, return_weights=False)
+    assert not _pallas_eligible(q, deterministic=True, return_weights=True)
+    # single-token decode steps stay on XLA too
+    assert not _pallas_eligible(q[:, :1], deterministic=True, return_weights=False)
+
+
+def test_grad_through_attention_with_pallas_flag():
+    """jax.grad through dot_product_attention(use_pallas=True) must work —
+    the dispatch may not take the pallas path under differentiation."""
+    import jax
+    import jax.numpy as jnp
+
+    from vct_tpu.ops.attention import dot_product_attention
+
+    q = jnp.ones((1, 4, 2, 8)) * 0.1
+
+    def loss(q):
+        out, _ = dot_product_attention(q, q, q, deterministic=False,
+                                       dropout_rate=0.0, use_pallas=True)
+        return out.sum()
+
+    g = jax.grad(loss)(q)
+    assert g.shape == q.shape and bool(jnp.isfinite(g).all())

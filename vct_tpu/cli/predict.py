@@ -56,21 +56,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def load_clip_params(clip_weights: str):
-    from vct_tpu.clip.convert import convert_clip
+    from vct_tpu.clip.convert import convert_clip, load_clip_state_dict
 
     if clip_weights is None:
         raise SystemExit("-v needs --clip_weights (CLIP ViT-B/32 state dict); "
                          "or precompute features and use -f")
-    if clip_weights.endswith(".npz"):
-        sd = {k: np.asarray(v) for k, v in np.load(clip_weights).items()}
-    else:
-        from vct_tpu.convert import load_torch_state_dict
-
-        sd = load_torch_state_dict(clip_weights)
     import jax
     import jax.numpy as jnp
 
-    return jax.tree_util.tree_map(jnp.asarray, convert_clip(sd))
+    return jax.tree_util.tree_map(
+        jnp.asarray, convert_clip(load_clip_state_dict(clip_weights))
+    )
 
 
 def predict(cfg, args, log=print) -> str:

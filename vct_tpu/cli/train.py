@@ -63,12 +63,16 @@ def main(argv=None) -> None:
         trainer.resume(args.resume)
     if args.profile:
         # Tracing/profiling: the aux subsystem the reference lacks entirely
-        # (SURVEY.md §5). One epoch is enough to see the step breakdown.
+        # (SURVEY.md §5). One epoch is enough to see the step breakdown. The
+        # pre-profile train state is restored so the real run is unaffected
+        # (no hidden extra epoch of updates).
         import jax
 
+        state_before = trainer.state
         jax.profiler.start_trace(args.profile)
         trainer.train_epoch(trainer.start_epoch)
         jax.profiler.stop_trace()
+        trainer.state = state_before
         print(f"profile trace written to {args.profile}")
     scores = trainer.fit()
     if writer is not None:

@@ -18,6 +18,17 @@ from typing import Dict
 import numpy as np
 
 
+def load_clip_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """CLIP weights from ``.npz`` (numpy archive) or a torch ``.pt``/``.bin``
+    state dict — the one loading branch shared by the vision (-v CLI) and
+    text (matching task) paths."""
+    if path.endswith(".npz"):
+        return {k: np.asarray(v) for k, v in np.load(path).items()}
+    from vct_tpu.convert import load_torch_state_dict
+
+    return load_torch_state_dict(path)
+
+
 def _conv_to_patch_kernel(w: np.ndarray) -> np.ndarray:
     """torch conv1 weight [width, 3, p, p] -> matmul kernel [p*p*3, width].
 

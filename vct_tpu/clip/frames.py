@@ -76,10 +76,9 @@ def sample_frames(video_path: str, ext_type: str = "uni_12") -> np.ndarray:
         if n_frames > 0:
             wanted = frame_indices(n_frames, fps, ext_type)
             frames: List[np.ndarray] = []
-            want_set = set(wanted.tolist())
             # sequential scan: cheaper + more reliable than CAP_PROP_POS_FRAMES
             # seeks, and sampled sets are small anyway
-            last = max(want_set)
+            last = int(wanted.max())
             i = 0
             count: dict = {}
             for w in wanted.tolist():
@@ -92,10 +91,14 @@ def sample_frames(video_path: str, ext_type: str = "uni_12") -> np.ndarray:
                     rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
                     frames.extend([rgb] * count[i])
                 i += 1
-            if not frames:
-                raise RuntimeError(f"decoded 0 frames from {video_path!r}")
-            return np.stack(frames)
-        # unknown frame count (some containers): decode everything, then sample
+            if len(frames) == len(wanted):
+                return np.stack(frames)
+            # CAP_PROP_FRAME_COUNT over-reported (common with VFR mp4) and the
+            # scan came up short; fall through to the decode-all path so the
+            # sampler sees the TRUE frame count and still returns exactly N.
+            cap.release()
+            cap = cv2.VideoCapture(video_path)
+        # unknown/unreliable frame count: decode everything, then sample
         all_frames: List[np.ndarray] = []
         while True:
             ok, frame = cap.read()

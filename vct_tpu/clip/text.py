@@ -147,8 +147,10 @@ class CLIPBPETokenizer:
             vocab = json.load(f)
         merges = []
         with open(merges_txt) as f:
-            for line in f.read().split("\n"):
-                if not line or line.startswith("#"):
+            for i, line in enumerate(f.read().split("\n")):
+                # only the first line may be the '#version: ...' header; real
+                # CLIP merges include '#'-initial entries (hashtag byte pairs)
+                if not line or (i == 0 and line.startswith("#version")):
                     continue
                 merges.append(tuple(line.split()))
         return cls(vocab, merges)
@@ -356,13 +358,10 @@ def build_text_encoder(
             raise ValueError(
                 "CLIP text encoder needs clip_weights + vocab_json + merges_txt"
             )
-        tokenizer = CLIPBPETokenizer.from_hf_files(vocab_json, merges_txt)
-        if clip_weights.endswith(".npz"):
-            sd = {k: np.asarray(v) for k, v in np.load(clip_weights).items()}
-        else:
-            from vct_tpu.convert import load_torch_state_dict
+        from vct_tpu.clip.convert import load_clip_state_dict
 
-            sd = load_torch_state_dict(clip_weights)
+        tokenizer = CLIPBPETokenizer.from_hf_files(vocab_json, merges_txt)
+        sd = load_clip_state_dict(clip_weights)
         if tower_kwargs is None:
             tower_kwargs = infer_text_tower_kwargs(sd)
         tower = CLIPTextTower(**tower_kwargs)

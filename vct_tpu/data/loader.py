@@ -73,20 +73,26 @@ class DataLoader:
         order = self._order()
         bs = self.batch_size
         limit = (len(order) // bs) * bs if self.drop_last else len(order)
-        if self.native:
-            from vct_tpu.data.native import collate_from_dataset
-
-            for start in range(0, limit, bs):
-                yield collate_from_dataset(
-                    self.dataset,
-                    order[start : start + bs],
-                    batch_size=bs,
-                    max_frames=self.max_frames,
-                    preprocessor=self.preprocessor,
-                )
-            return
         for start in range(0, limit, bs):
             idx = order[start : start + bs]
+            if self.native:
+                from vct_tpu.data.native import collate_from_dataset
+
+                try:
+                    yield collate_from_dataset(
+                        self.dataset, idx,
+                        batch_size=bs,
+                        max_frames=self.max_frames,
+                        preprocessor=self.preprocessor,
+                    )
+                    continue
+                except IOError as e:
+                    if "unsupported dtype" not in str(e):
+                        raise
+                    # dataset uses a dtype the C loader doesn't cover — fall
+                    # back to the Python path permanently (same results,
+                    # load_feature casts via numpy)
+                    self.native = False
             items = [self.dataset[int(i)] for i in idx]
             yield collate(
                 items,

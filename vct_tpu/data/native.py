@@ -139,9 +139,13 @@ def collate_from_dataset(dataset, indices, *, batch_size: int, max_frames: int,
 
 
 def _peek_dim(path: str) -> int:
-    """Feature dim of one file (header-only read, oriented min(dims))."""
-    with open(path, "rb") as f:
-        version = np.lib.format.read_magic(f)
-        shape, _, _ = np.lib.format._read_array_header(f, version)
+    """Feature dim of one file (header-only read; E = the larger dim under
+    the reference's T<E orientation rule)."""
+    try:
+        with open(path, "rb") as f:
+            version = np.lib.format.read_magic(f)
+            shape, _, _ = np.lib.format._read_array_header(f, version)
+    except AttributeError:  # private API moved — mmap the header instead
+        shape = np.load(path, mmap_mode="r").shape
     dims = [d for d in shape if d != 1]
     return max(dims) if len(dims) == 2 else dims[-1]

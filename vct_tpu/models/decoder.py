@@ -49,6 +49,7 @@ class CapDecoder(nn.Module):
     activation: str = "gelu"
     quirk_no_memory_mask: bool = False
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     def setup(self):
         self.decoder = TransformerDecoder(
@@ -59,6 +60,7 @@ class CapDecoder(nn.Module):
             self.dropout_rate,
             self.activation,
             self.dtype,
+            use_pallas=self.use_pallas,
             name="decoder",
         )
         self.generator = nn.Dense(

@@ -68,6 +68,7 @@ class _MMEBase(nn.Module):
     do_norm: bool = False
     quirk_unmasked_agg: bool = False
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @property
     def num_modal(self) -> int:
@@ -150,6 +151,7 @@ class MultiModalEncoder(_MMEBase):
             self.dropout_rate,
             self.activation,
             self.dtype,
+            use_pallas=self.use_pallas,
             name="transformer_encoder",
         )
 
@@ -187,6 +189,7 @@ class HMMEncoder(_MMEBase):
                 self.dropout_rate,
                 self.activation,
                 self.dtype,
+                use_pallas=self.use_pallas,
                 name=f"trans_enc_layers_{i}",
             )
             for i in range(depth)
@@ -238,6 +241,7 @@ class SimpleSepEncoder(nn.Module):
     activation: str = "gelu"
     num_encoder_layers: int = 1
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @property
     def num_modal(self) -> int:
@@ -257,6 +261,7 @@ class SimpleSepEncoder(nn.Module):
                 self.dropout_rate,
                 self.activation,
                 self.dtype,
+                use_pallas=self.use_pallas,
                 name=f"transformer_encoders_{i}",
             )
             for i in range(self.num_modal)

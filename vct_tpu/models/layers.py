@@ -52,6 +52,7 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False  # fused kernel on the no-grad TPU path
 
     def setup(self):
         e = self.embed_dim
@@ -107,6 +108,7 @@ class MultiHeadAttention(nn.Module):
             dropout_rng=rng,
             deterministic=deterministic,
             return_weights=return_weights,
+            use_pallas=self.use_pallas,
         )
         b, t, _, _ = out.shape
         out = self.out_proj(out.reshape(b, t, self.embed_dim))
@@ -141,11 +143,13 @@ class TransformerEncoderLayer(nn.Module):
     dropout_rate: float = 0.1
     activation: str = "gelu"
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     def setup(self):
         mk = dict(dtype=self.dtype, param_dtype=jnp.float32)
         self.self_attn = MultiHeadAttention(
-            self.embed_dim, self.num_heads, self.dropout_rate, self.dtype, name="self_attn"
+            self.embed_dim, self.num_heads, self.dropout_rate, self.dtype,
+            use_pallas=self.use_pallas, name="self_attn"
         )
         self.linear1 = nn.Dense(self.dim_feedforward, name="linear1", **mk)
         self.linear2 = nn.Dense(self.embed_dim, name="linear2", **mk)
@@ -181,6 +185,7 @@ class TransformerEncoder(nn.Module):
     dropout_rate: float = 0.1
     activation: str = "gelu"
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     def setup(self):
         self.layers = [
@@ -191,6 +196,7 @@ class TransformerEncoder(nn.Module):
                 self.dropout_rate,
                 self.activation,
                 self.dtype,
+                use_pallas=self.use_pallas,
                 name=f"layers_{i}",
             )
             for i in range(self.num_layers)
@@ -226,14 +232,17 @@ class TransformerDecoderLayer(nn.Module):
     dropout_rate: float = 0.1
     activation: str = "gelu"
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     def setup(self):
         mk = dict(dtype=self.dtype, param_dtype=jnp.float32)
         self.self_attn = MultiHeadAttention(
-            self.embed_dim, self.num_heads, self.dropout_rate, self.dtype, name="self_attn"
+            self.embed_dim, self.num_heads, self.dropout_rate, self.dtype,
+            use_pallas=self.use_pallas, name="self_attn"
         )
         self.multihead_attn = MultiHeadAttention(
-            self.embed_dim, self.num_heads, self.dropout_rate, self.dtype, name="multihead_attn"
+            self.embed_dim, self.num_heads, self.dropout_rate, self.dtype,
+            use_pallas=self.use_pallas, name="multihead_attn"
         )
         self.linear1 = nn.Dense(self.dim_feedforward, name="linear1", **mk)
         self.linear2 = nn.Dense(self.embed_dim, name="linear2", **mk)
@@ -327,6 +336,7 @@ class TransformerDecoder(nn.Module):
     dropout_rate: float = 0.1
     activation: str = "gelu"
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     def setup(self):
         self.layers = [
@@ -337,6 +347,7 @@ class TransformerDecoder(nn.Module):
                 self.dropout_rate,
                 self.activation,
                 self.dtype,
+                use_pallas=self.use_pallas,
                 name=f"layers_{i}",
             )
             for i in range(self.num_layers)

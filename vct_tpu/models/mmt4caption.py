@@ -56,9 +56,6 @@ class MMT4Caption(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        from vct_tpu.ops.attention import set_pallas_enabled
-
-        set_pallas_enabled(self.tpu.use_pallas_attention)
         cfg = self.config
         ve = cfg.video_encoder
         common = dict(
@@ -69,6 +66,7 @@ class MMT4Caption(nn.Module):
             dropout_rate=cfg.dropout,
             activation=cfg.activation,
             dtype=self.dtype,
+            use_pallas=self.tpu.use_pallas_attention,
         )
         if ve.type == "simple":
             self.video_encoder = SimpleSepEncoder(
@@ -107,6 +105,7 @@ class MMT4Caption(nn.Module):
             sce_loss_alpha=cfg.caption_decoder.sce_loss_alpha,
             activation=cfg.activation,
             quirk_no_memory_mask=self.tpu.quirk_no_memory_mask_in_decoder,
+            use_pallas=self.tpu.use_pallas_attention,
             name="cap_decoder",
         )
         if cfg.matching is not None:

@@ -52,23 +52,15 @@ def combine_bias(*biases: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
     return out
 
 
-# Global switch for the Pallas fused kernel (TPUConfig.use_pallas_attention;
-# set by MMT4Caption.setup). A module-level flag rather than per-call plumbing
-# because every attention site shares one policy and it's resolved at trace
-# time.
-_USE_PALLAS = True
-
-
-def set_pallas_enabled(enabled: bool) -> None:
-    global _USE_PALLAS
-    _USE_PALLAS = bool(enabled)
-
-
-def _pallas_eligible(q, dropout_rate, deterministic, return_weights, bias) -> bool:
+def _pallas_eligible(q, deterministic, return_weights) -> bool:
+    # Inference-only dispatch: pallas_call has no autodiff rule, so the kernel
+    # must never be reached inside jax.grad. `deterministic=True` is how every
+    # non-training apply in this codebase is marked (train steps always pass
+    # deterministic=False, even with dropout 0), so it doubles as the
+    # not-differentiated guard.
     return (
-        _USE_PALLAS
+        deterministic
         and not return_weights
-        and (deterministic or dropout_rate == 0.0)
         and q.shape[1] > 1  # single-token decode steps are matvecs; XLA wins
         and jax.default_backend() == "tpu"
     )
@@ -84,12 +76,16 @@ def dot_product_attention(
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
     return_weights: bool = False,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Attention over [B, T, H, D] tensors.
 
     Returns (output [B, Tq, H, D], weights [B, H, Tq, Tk] mean-ready or None).
+    ``use_pallas`` opts the no-dropout inference path into the fused kernel
+    (threaded down from ``TPUConfig.use_pallas_attention`` per model — never
+    global state, so two models with different settings coexist).
     """
-    if _pallas_eligible(q, dropout_rate, deterministic, return_weights, bias):
+    if use_pallas and _pallas_eligible(q, deterministic, return_weights):
         from vct_tpu.ops.pallas_attention import fused_attention
 
         return fused_attention(q, k, v, bias), None

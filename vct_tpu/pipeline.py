@@ -14,6 +14,7 @@ Host side keeps only what must be host work: video decode + frame sampling
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, List, Optional
 
 import jax
@@ -25,6 +26,10 @@ from vct_tpu.decode import greedy_generate
 from vct_tpu.models.mmt4caption import MMT4Caption
 
 
+# lru_cache keyed on the (hashable, frozen-dataclass) modules: repeated
+# caption_videos calls reuse the SAME closure, so jax.jit's cache hits and the
+# fused program compiles once per shape — not once per call.
+@functools.lru_cache(maxsize=8)
 def make_video_caption_fn(
     model: MMT4Caption,
     tower: CLIPVisionTower,
