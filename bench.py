@@ -45,6 +45,41 @@ END_ID = -1  # never fires -> full 30-token generation (worst case; with real
 # weights the early-exit only helps further)
 
 
+def latency_mode() -> None:
+    """--latency: p50/p90 single-video pixels->caption latency through the
+    FUSED CLIP ViT-B/32 + captioner program (BASELINE.json north-star metric;
+    not part of the driver's headline line)."""
+    from vct_tpu.clip.vision import CLIPVisionTower
+    from vct_tpu.pipeline import make_video_caption_fn
+
+    np.asarray(jax.jit(lambda x: x * 2)(jnp.ones((8, 128))))
+    model = _flagship(dtype=jnp.bfloat16)
+    feats, masks, caps, cap_mask = _batch(1, T, 8, 512, VOCAB)
+    variables = model.init(
+        jax.random.PRNGKey(0), feats, masks, caps, cap_mask,
+        method=MMT4Caption.caption_loss,
+    )
+    tower = CLIPVisionTower(dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    pixels = jnp.asarray(rng.standard_normal((1, T, 224, 224, 3)), jnp.float32)
+    clip_params = tower.init(jax.random.PRNGKey(1), pixels[0])["params"]
+    fn = make_video_caption_fn(model, tower, max_len=MAX_LEN, start_id=101,
+                               end_id=END_ID)
+    np.asarray(fn(variables, clip_params, pixels)[0])  # compile + warm
+    lat = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        np.asarray(fn(variables, clip_params, pixels)[0])
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    print(json.dumps({
+        "metric": "video_to_caption_latency_p50",
+        "value": round(lat[len(lat) // 2] * 1000, 2),
+        "unit": "ms",
+        "p90_ms": round(lat[int(len(lat) * 0.9)] * 1000, 2),
+    }))
+
+
 def main() -> None:
     # warm the device + transfer path (first host transfer can take ~60s on
     # the tunneled TPU; everything after is steady-state)
@@ -113,4 +148,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--latency" in sys.argv:
+        latency_mode()
+    else:
+        main()

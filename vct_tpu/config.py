@@ -323,6 +323,8 @@ class TPUConfig:
     # decoding
     beam_size: int = 1  # 1 = greedy; >1 = beam search (reference stubs beam)
     seed: int = 666  # reference seeds 666 (train.py:308)
+    # tqdm progress bars over train/decode batches (reference train.py:119,178)
+    progress_bar: bool = True
     # Frozen CLIP text encoder assets for the match/cross tasks (reference
     # TextEncoder.py downloads ViT-B/32 at runtime; this framework loads local
     # files: a CLIP state dict (.pt/.bin/.npz) + HF-format vocab.json/merges.txt).

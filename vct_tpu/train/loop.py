@@ -175,11 +175,22 @@ class Trainer:
     def _shard(self, arrays):
         return shard_batch_arrays(self.mesh, arrays)
 
+    def _progress(self, loader, desc: str):
+        """tqdm over batches when available (reference train.py:119,178)."""
+        if not self.cfg.tpu.progress_bar:
+            return loader
+        try:
+            from tqdm import tqdm
+
+            return tqdm(loader, total=len(loader), desc=desc, leave=False)
+        except ImportError:
+            return loader
+
     def train_epoch(self, epoch: int) -> float:
         loader = self.loaders["train"]
         loader.set_epoch(epoch)
         total, n = 0.0, 0
-        for batch in loader:
+        for batch in self._progress(loader, f"train e{epoch}"):
             arrays = self._shard(batch_to_arrays(batch, self.text_encoder))
             self.state, metrics = self.train_step(self.state, arrays)
             total += float(metrics["loss"])
@@ -221,7 +232,7 @@ class Trainer:
         which ``collate``'s fixed rectangles guarantee."""
         variables = {"params": self.state.params, "buffers": self.state.buffers}
         vid2result: Dict[str, str] = {}
-        for batch in loader:
+        for batch in self._progress(loader, "decode"):
             feats = self._shard(list(batch.feats))
             masks = self._shard(list(batch.masks))
             tokens, _ = self.greedy_fn(variables, feats, masks)
