@@ -109,3 +109,22 @@ def test_greedy_decode_under_mesh():
     )(variables, feats, masks)
     assert tokens.shape == (B, 8)
     assert (np.asarray(tokens)[:, 0] == 2).all()
+
+
+def test_two_d_mesh_model_axis():
+    """A (4, 2) mesh — data parallel with a non-trivial 'model' axis — must
+    produce the same step numerics as the 1-D data mesh (params replicated
+    across 'model'; the axis is reserved for tensor parallelism)."""
+    step1, state1, batch1 = _setup(make_mesh(8, 1))
+    state1, m1 = step1(state1, batch1)
+
+    step2, state2, batch2 = _setup(make_mesh(4, 2))
+    state2, m2 = step2(state2, batch2)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    # gradient psum order differs between mesh shapes -> fp32 rounding noise,
+    # amplified by Adam's rsqrt; updates are ~1e-3, so 1e-5 is tight enough
+    l1 = jax.tree_util.tree_leaves(state1.params)
+    l2 = jax.tree_util.tree_leaves(state2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -189,13 +189,17 @@ class Trainer:
     def train_epoch(self, epoch: int) -> float:
         loader = self.loaders["train"]
         loader.set_epoch(epoch)
-        total, n = 0.0, 0
+        # losses stay on device until epoch end: float(loss) every step would
+        # block the host on each dispatch and serialize input loading against
+        # device compute (JAX dispatch is async; one sync per epoch suffices)
+        losses = []
         for batch in self._progress(loader, f"train e{epoch}"):
             arrays = self._shard(batch_to_arrays(batch, self.text_encoder))
             self.state, metrics = self.train_step(self.state, arrays)
-            total += float(metrics["loss"])
-            n += 1
-        return total / max(n, 1)
+            losses.append(metrics["loss"])
+        if not losses:
+            return 0.0
+        return float(jnp.mean(jnp.stack(losses)))
 
     def val_epoch(self) -> Dict[str, float]:
         loader = self.loaders.get("validation")
