@@ -66,3 +66,38 @@ def test_preprocessor_static_shapes(tok):
     assert ids[1, 0] == tok.start_id and ids[1, 3] == tok.end_id
     np.testing.assert_array_equal(mask[1], [False] * 4 + [True] * 4)
     assert (ids[1, 4:] == tok.pad_id).all()
+
+
+def test_wordpiece_parity_with_hf_bert_tokenizer(tmp_path):
+    """Property parity vs transformers.BertTokenizer built from the same local
+    vocab file (no hub access) across punctuation/accents/CJK/unk cases."""
+    transformers = pytest.importorskip("transformers")
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "a", "man", "rides", "horse", "##s", "##ing", "rid", "play",
+             "##ed", "the", "!", ",", "'", "s", "7", "o", "##'", "##clock",
+             "un", "##aff", "##able", "天", "气"]
+    vf = tmp_path / "vocab.txt"
+    vf.write_text("\n".join(vocab))
+
+    from vct_tpu.text.tokenizer import WordPieceTokenizer
+
+    ours = WordPieceTokenizer.from_vocab_file(str(vf), do_lower_case=True)
+    theirs = transformers.BertTokenizer(str(vf), do_lower_case=True)
+
+    cases = [
+        "a man rides horses",
+        "A MAN RIDING!",
+        "the man, played",
+        "unaffable",
+        "zzz unknown zzz",
+        "a  man\trides\nhorses",
+        "café man",            # accent stripping
+        "天气 a man",           # CJK spacing
+        "it's 7 o'clock",
+        "",
+        "!!!",
+    ]
+    for text in cases:
+        assert ours.tokenize(text) == theirs.tokenize(text), repr(text)
+        assert ours.encode(text) == theirs.encode(text), repr(text)

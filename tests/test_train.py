@@ -198,3 +198,17 @@ def test_trainer_full_fit(workspace):
     import pathlib
 
     assert (pathlib.Path(workspace) / "ckpt").exists()
+
+
+def test_trainer_beam_eval(workspace):
+    """tpu.beam_size > 1 switches epoch-eval decoding to beam search (a
+    capability the reference stubs, MMT4Caption.py:186-187)."""
+    import dataclasses
+
+    from vct_tpu.train.loop import Trainer
+
+    cfg = make_config(workspace)
+    cfg = cfg.replace(tpu=dataclasses.replace(cfg.tpu, beam_size=2))
+    tr = Trainer(cfg, log=lambda *_: None)
+    scores = tr.eval_epoch()
+    assert set(scores) >= {"Bleu_4", "METEOR", "ROUGE_L", "CIDEr"}

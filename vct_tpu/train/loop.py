@@ -110,10 +110,17 @@ class Trainer:
 
         self.train_step = make_train_step(self.model, self.optimizer, self.task)
         self.val_step = make_eval_step(self.model, self.task)
-        self.greedy_fn = make_greedy_fn(
-            self.model, cfg.test.max_length,
-            self.tokenizer.start_id, self.tokenizer.end_id,
-        )
+        if cfg.tpu.beam_size > 1:
+            self.greedy_fn = make_beam_fn(
+                self.model, cfg.test.max_length,
+                self.tokenizer.start_id, self.tokenizer.end_id,
+                cfg.tpu.beam_size,
+            )
+        else:
+            self.greedy_fn = make_greedy_fn(
+                self.model, cfg.test.max_length,
+                self.tokenizer.start_id, self.tokenizer.end_id,
+            )
         self.earlystop = EarlyStopping(patience=cfg.train.earlystop, trace_func=log)
         self.writer = writer
         self.start_epoch = 0
