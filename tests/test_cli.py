@@ -128,3 +128,52 @@ def test_predict_rejects_modality_mismatch(workspace):
               "-m", str(workspace / "ckpt" / "cli_earlystop"),
               "-f", str(workspace / "feats" / "vid0.npy"),
               str(workspace / "feats" / "vid1.npy")])
+
+
+def test_train_cli_msrvtt_format(tmp_path, capsys):
+    """Same CLI flow over MSR-VTT JSON annotations (videos[].split +
+    sentences[]; reference dataloader.py:411-436)."""
+    from vct_tpu.cli.train import main
+
+    # one feature dir per split, like the real configs (feat dirs ARE the
+    # split membership for by_video mode, dataloader.py:368-372)
+    train_dir = tmp_path / "feats_train"; train_dir.mkdir()
+    val_dir = tmp_path / "feats_val"; val_dir.mkdir()
+    rng = np.random.default_rng(0)
+    videos, sentences = [], []
+    for i in range(4):
+        vid = f"video{i}"
+        split = "train" if i < 3 else "validate"
+        d = train_dir if split == "train" else val_dir
+        np.save(d / f"{vid}.npy", rng.standard_normal((T, E_FEAT)).astype(np.float32))
+        videos.append({"video_id": vid, "split": split})
+        for j in range(2):
+            sentences.append({"video_id": vid, "caption": f"a person does action {i} variant {j}"})
+    ann = tmp_path / "msrvtt.json"
+    ann.write_text(json.dumps({"videos": videos, "sentences": sentences}))
+    (tmp_path / "vocab.txt").write_text(
+        "\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + WORDS))
+
+    split_cfg = {"feat_dir": [str(train_dir)], "annotation_path": str(ann),
+                 "dataset": "msrvtt", "mode": "by_caption", "split_mode": "train",
+                 "batch_size": 2}
+    cfg = {
+        "data": {"train": split_cfg,
+                 "eval": dict(split_cfg, feat_dir=[str(val_dir)],
+                              mode="by_video", split_mode="validate")},
+        "train": {"task": "caption", "optimizer": {"name": "adam", "learning_rate": 1e-3},
+                  "epoch": 1, "save_dir": str(tmp_path / "c"),
+                  "log_dir": str(tmp_path / "l"), "tag": "m", "metric_earlystop": True},
+        "test": {"max_length": 8},
+        "model": {"modal": ["CLIP4Clip"], "modal_shape": [E_FEAT], "embed_dim": 32,
+                  "dropout": 0.1, "activation": "gelu",
+                  "video_encoder": {"layer": 1, "nhead": 2, "feedforward": 64,
+                                    "mme": {"temporal": "encoding", "aggregation": "avg"}},
+                  "caption_decoder": {"layer": 1, "nhead": 2, "feedforward": 64}},
+        "tpu": {"max_frames": T, "max_caption_len": 12, "dtype": "float32",
+                "mesh_data": 1, "vocab_path": str(tmp_path / "vocab.txt")},
+    }
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+    main(["-c", str(tmp_path / "config.json"), "--no_tensorboard"])
+    out = capsys.readouterr().out
+    assert "final scores" in out and "Bleu_4" in out

@@ -130,3 +130,42 @@ def test_predict_cli_raw_video(tmp_path):
     main(["-c", str(tmp_path / "config.json"), "-m", ckpt,
           "-v", str(tmp_path / "in.avi"), "--ext_type", "uni_4",
           "--clip_weights", str(tmp_path / "clip.npz"), "--greedy"])
+
+
+def test_fused_matches_staged():
+    """The fused pixels->caption program must emit the same tokens as running
+    the CLIP tower and the decoder as separate programs."""
+    from vct_tpu.clip.vision import CLIPVisionTower
+    from vct_tpu.config import ModelConfig, TPUConfig
+    from vct_tpu.decode import make_greedy_fn
+    from vct_tpu.models.mmt4caption import MMT4Caption
+    from vct_tpu.pipeline import make_video_caption_fn
+
+    tower = CLIPVisionTower(width=64, layers=1, heads=2, out_dim=16)
+    mcfg = ModelConfig.from_dict({
+        "modal": ["CLIP4Clip"], "modal_shape": [16], "embed_dim": 32,
+        "dropout": 0.0, "vocab_size": 40,
+        "video_encoder": {"layer": 1, "nhead": 2, "feedforward": 64,
+                          "mme": {"temporal": "encoding", "aggregation": "avg"}},
+        "caption_decoder": {"layer": 1, "nhead": 2, "feedforward": 64},
+    })
+    model = MMT4Caption(mcfg, TPUConfig(dtype="float32"))
+    rng = np.random.default_rng(7)
+    n, t = 2, 4
+    pixels = jnp.asarray(rng.standard_normal((n, t, 224, 224, 3)), jnp.float32)
+    clip_params = tower.init(jax.random.PRNGKey(0), pixels[0])["params"]
+    feats0 = [jnp.zeros((n, t, 16), jnp.float32)]
+    masks0 = [jnp.zeros((n, t), bool)]
+    caps = jnp.full((n, 8), 0, jnp.int32).at[:, 0].set(2)
+    variables = model.init(jax.random.PRNGKey(1), feats0, masks0, caps, caps == 0,
+                           method=MMT4Caption.caption_loss)
+
+    fused_tokens, _ = make_video_caption_fn(model, tower, max_len=8,
+                                            start_id=2, end_id=3)(
+        variables, clip_params, pixels)
+
+    flat = pixels.reshape((n * t, 224, 224, 3))
+    feats = tower.apply({"params": clip_params}, flat).reshape(n, t, 16)
+    staged_tokens, _ = make_greedy_fn(model, 8, 2, 3)(
+        variables, [feats.astype(jnp.float32)], masks0)
+    np.testing.assert_array_equal(np.asarray(fused_tokens), np.asarray(staged_tokens))
