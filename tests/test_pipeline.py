@@ -169,3 +169,27 @@ def test_fused_matches_staged():
     staged_tokens, _ = make_greedy_fn(model, 8, 2, 3)(
         variables, [feats.astype(jnp.float32)], masks0)
     np.testing.assert_array_equal(np.asarray(fused_tokens), np.asarray(staged_tokens))
+
+
+def test_extract_cli(tmp_path, capsys):
+    """Offline feature extraction: video dir -> per-video (T, 512) .npy
+    (the reference's training-data prep, README.md:94-96)."""
+    from vct_tpu.cli.extract import main
+
+    vid_dir = tmp_path / "vids"; vid_dir.mkdir()
+    _write_video(vid_dir / "a.avi", n_frames=30)
+    _write_video(vid_dir / "b.avi", n_frames=50)
+    np.savez(tmp_path / "clip.npz", **_random_openai_clip_sd(np.random.default_rng(0)))
+    out = tmp_path / "feats"
+
+    main(["--videos", str(vid_dir), "--out", str(out), "--ext_type", "uni_4",
+          "--clip_weights", str(tmp_path / "clip.npz"), "--batch_frames", "8"])
+    a = np.load(out / "a.npy"); b = np.load(out / "b.npy")
+    assert a.shape == (4, 512) and b.shape == (4, 512)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert "extracted 2 videos" in capsys.readouterr().out
+
+    # skip-existing then overwrite
+    main(["--videos", str(vid_dir), "--out", str(out), "--ext_type", "uni_4",
+          "--clip_weights", str(tmp_path / "clip.npz")])
+    assert "extracted 0 videos (2 skipped)" in capsys.readouterr().out

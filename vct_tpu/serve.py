@@ -1,0 +1,252 @@
+"""Batching inference server — production serving for the captioner.
+
+The reference has no serving story (its closest path is the one-shot
+``predict_video.py`` CLI). For production TPU deployment the expensive thing
+is per-request dispatch, so this server micro-batches: a worker thread drains
+a request queue up to ``max_batch`` (or ``batch_timeout_ms``), pads the batch
+to ONE static shape, and runs the single compiled KV-cached decode program —
+each chip dispatch serves up to ``max_batch`` requests.
+
+Endpoints (stdlib ``http.server``; JSON out):
+  GET  /healthz            -> {"status": "ok", ...}
+  POST /v1/caption         body = one video's features as .npy bytes (T, E)
+                           -> {"caption": ...}
+  POST /v1/caption_video   body = raw video bytes (ffmpeg-decodable)
+                           -> {"caption": ...}   (needs --clip_weights)
+
+Run: ``python -m vct_tpu.serve -c config.json -m ckpt --port 8000``
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import tempfile
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+class _Request:
+    __slots__ = ("feats", "event", "caption", "error")
+
+    def __init__(self, feats: np.ndarray):
+        self.feats = feats  # (T, E) float32, already oriented
+        self.event = threading.Event()
+        self.caption: Optional[str] = None
+        self.error: Optional[str] = None
+
+
+class CaptionService:
+    """Micro-batching captioner. Thread-safe ``caption_features`` /
+    ``caption_video`` entry points; one background batcher thread."""
+
+    def __init__(self, cfg, ckpt_path: str, *, clip_weights: Optional[str] = None,
+                 max_batch: int = 32, batch_timeout_ms: float = 5.0, log=print):
+        import jax.numpy as jnp
+
+        from vct_tpu.cli.common import load_checkpoint_into, make_trainer_pieces
+        from vct_tpu.decode import make_greedy_fn
+
+        self.cfg = cfg
+        self.log = log
+        self.max_batch = max_batch
+        self.batch_timeout = batch_timeout_ms / 1000.0
+        self.model, self.tokenizer, variables = make_trainer_pieces(cfg)
+        self.variables = load_checkpoint_into(variables, ckpt_path, log=log)
+        self.decode_fn = make_greedy_fn(
+            self.model, cfg.test.max_length,
+            self.tokenizer.start_id, self.tokenizer.end_id,
+        )
+        self._jnp = jnp
+
+        self.clip_params = None
+        self.tower = None
+        if clip_weights:
+            from vct_tpu.cli.predict import load_clip_params
+            from vct_tpu.clip.vision import CLIPVisionTower
+
+            self.clip_params = load_clip_params(clip_weights)
+            self.tower = CLIPVisionTower()
+
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._batch_loop, daemon=True)
+        self._worker.start()
+        self.stats = {"requests": 0, "batches": 0}
+
+    # -- public API ---------------------------------------------------------
+
+    def caption_features(self, feats: np.ndarray, timeout: float = 60.0) -> str:
+        """(T, E) or (E, T) features -> caption. Blocks until served."""
+        feats = np.asarray(feats, np.float32)
+        feats = np.squeeze(feats)
+        if feats.ndim != 2:
+            raise ValueError(f"expected 2-D features, got {feats.shape}")
+        if feats.shape[0] > feats.shape[1]:  # reference orientation rule
+            feats = feats.T
+        e = self.cfg.model.modal_shape[0]
+        if feats.shape[1] != e:
+            raise ValueError(f"feature dim {feats.shape[1]} != model dim {e}")
+        req = _Request(feats)
+        self._queue.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("caption request timed out")
+        if req.error:
+            raise RuntimeError(req.error)
+        return req.caption
+
+    def caption_video(self, video_bytes: bytes, ext_type: str = "uni_12",
+                      timeout: float = 120.0) -> str:
+        if self.tower is None:
+            raise ValueError("server started without --clip_weights; "
+                             "send features to /v1/caption instead")
+        import jax
+
+        from vct_tpu.clip import preprocess_frames, sample_frames
+
+        with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
+            f.write(video_bytes)
+            f.flush()
+            frames = sample_frames(f.name, ext_type)
+        pixels = preprocess_frames(frames)
+        feats = np.asarray(
+            jax.jit(self.tower.apply)({"params": self.clip_params},
+                                      self._jnp.asarray(pixels))
+        )
+        return self.caption_features(feats, timeout=timeout)
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    # -- batcher ------------------------------------------------------------
+
+    def _batch_loop(self):
+        from vct_tpu.data.collate import fit_time_axis
+        from vct_tpu.decode import detokenize_batch
+
+        max_t = self.cfg.tpu.max_frames
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch: List[_Request] = [first]
+            deadline = time.monotonic() + self.batch_timeout
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                fs, ms = zip(*(fit_time_axis(r.feats, max_t) for r in batch))
+                n = len(batch)
+                pad = self.max_batch - n
+                feats = np.stack(fs + (fs[0],) * pad)
+                masks = np.stack(ms + (ms[0],) * pad)
+                tokens, _ = self.decode_fn(
+                    self.variables,
+                    [self._jnp.asarray(feats)],
+                    [self._jnp.asarray(masks)],
+                )
+                captions = detokenize_batch(self.tokenizer, tokens)[:n]
+                for r, c in zip(batch, captions):
+                    r.caption = c
+                self.stats["requests"] += n
+                self.stats["batches"] += 1
+            except Exception as e:  # noqa: BLE001 - propagate per request
+                for r in batch:
+                    r.error = f"{type(e).__name__}: {e}"
+            finally:
+                for r in batch:
+                    r.event.set()
+
+
+def make_handler(service: CaptionService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok", **service.stats})
+            else:
+                self._reply(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            try:
+                if self.path.startswith("/v1/caption_video"):
+                    caption = service.caption_video(body)
+                elif self.path.startswith("/v1/caption"):
+                    feats = np.load(io.BytesIO(body), allow_pickle=False)
+                    caption = service.caption_features(feats)
+                else:
+                    self._reply(404, {"error": f"no route {self.path}"})
+                    return
+                self._reply(200, {"caption": caption})
+            except (ValueError, TimeoutError) as e:
+                self._reply(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(cfg, ckpt_path: str, *, host="0.0.0.0", port=8000,
+          clip_weights=None, max_batch=32, batch_timeout_ms=5.0):
+    service = CaptionService(cfg, ckpt_path, clip_weights=clip_weights,
+                             max_batch=max_batch, batch_timeout_ms=batch_timeout_ms)
+    server = ThreadingHTTPServer((host, port), make_handler(service))
+    server.service = service
+    return server
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    from vct_tpu.cli.common import add_device_args, configure_hardware, load_config
+
+    p = argparse.ArgumentParser(description="Batching caption server")
+    p.add_argument("-c", "--config", required=True, type=str)
+    p.add_argument("-m", "--model", required=True, type=str)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--clip_weights", type=str, default=None)
+    p.add_argument("--max_batch", type=int, default=32)
+    p.add_argument("--batch_timeout_ms", type=float, default=5.0)
+    add_device_args(p)
+    args = p.parse_args(argv)
+    configure_hardware(args)
+
+    server = serve(load_config(args.config), args.model, host=args.host,
+                   port=args.port, clip_weights=args.clip_weights,
+                   max_batch=args.max_batch, batch_timeout_ms=args.batch_timeout_ms)
+    print(f"serving on {args.host}:{args.port} (max_batch={args.max_batch})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.service.close()
+
+
+if __name__ == "__main__":
+    main()
