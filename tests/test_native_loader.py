@@ -134,3 +134,28 @@ def test_unsupported_dtype_falls_back_to_python(tmp_path):
         batches[0].feats[0][0, :3],
         np.arange(3 * E, dtype=np.float32).reshape(3, E),
     )
+
+
+def test_multimodal_native_batches(tmp_path):
+    """Two feature dirs (two modalities) through the native collate path."""
+    from vct_tpu.data.datasets import MSVDDataset
+    from vct_tpu.data.loader import DataLoader
+
+    d1 = tmp_path / "m1"; d1.mkdir()
+    d2 = tmp_path / "m2"; d2.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(3):
+        np.save(d1 / f"vid{i}.npy", rng.standard_normal((4, E)).astype(np.float32))
+        np.save(d2 / f"vid{i}.npy", rng.standard_normal((6, E * 2)).astype(np.float32))
+    (tmp_path / "ann.txt").write_text("\n".join(f"vid{i} a caption {i}" for i in range(3)))
+    ds = MSVDDataset([str(d1), str(d2)], str(tmp_path / "ann.txt"),
+                     split_type="train", mode="by_caption")
+    kw = dict(max_frames=5, shuffle=False, prefetch=0)
+    for bn, bp in zip(DataLoader(ds, 2, native=True, **kw),
+                      DataLoader(ds, 2, native=False, **kw)):
+        assert len(bn.feats) == 2
+        assert bn.feats[0].shape[2] == E and bn.feats[1].shape[2] == E * 2
+        for a, b in zip(bn.feats, bp.feats):
+            np.testing.assert_array_equal(a, b)
+        for a, b in zip(bn.masks, bp.masks):
+            np.testing.assert_array_equal(a, b)

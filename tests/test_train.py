@@ -212,3 +212,22 @@ def test_trainer_beam_eval(workspace):
     tr = Trainer(cfg, log=lambda *_: None)
     scores = tr.eval_epoch()
     assert set(scores) >= {"Bleu_4", "METEOR", "ROUGE_L", "CIDEr"}
+
+
+def test_latest_checkpoint_and_resume(workspace):
+    """fit() writes a rolling _latest full train state; resume continues from
+    the next epoch (crash/preemption recovery, absent in the reference)."""
+    import os
+
+    from vct_tpu.train.loop import Trainer
+
+    cfg = make_config(workspace)
+    tr = Trainer(cfg, log=lambda *_: None)
+    tr.fit()
+    latest = os.path.join(cfg.train.save_dir, cfg.train.tag + "_latest")
+    assert os.path.isdir(latest)
+
+    tr2 = Trainer(cfg, log=lambda *_: None)
+    tr2.resume(latest)
+    assert tr2.start_epoch == cfg.train.epoch  # finished run -> nothing left
+    assert int(tr2.state.step) == int(tr.state.step)

@@ -12,6 +12,7 @@ GSPMD (``-ws`` sets the data-mesh size; default = all devices).
 from __future__ import annotations
 
 import argparse
+import os
 
 from vct_tpu.cli.common import add_device_args, configure_hardware, load_config
 
@@ -23,7 +24,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-ws", "--world_size", default=-1, type=int,
                    help="data-parallel mesh size (-1 = all devices)")
     p.add_argument("--resume", type=str, default=None,
-                   help="orbax checkpoint to resume (optimizer+epoch included)")
+                   help="orbax checkpoint to resume (optimizer+epoch included); "
+                        "'auto' resumes from <save_dir>/<tag>_latest if present")
     p.add_argument("--no_tensorboard", action="store_true")
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the first train epoch "
@@ -52,14 +54,18 @@ def main(argv=None) -> None:
         try:
             from tensorboardX import SummaryWriter
 
-            import os
-
             writer = SummaryWriter(os.path.join(cfg.train.log_dir, cfg.train.tag))
         except ImportError:
             print("tensorboardX unavailable; logging to stdout only")
 
     trainer = Trainer(cfg, writer=writer)
-    if args.resume:
+    if args.resume == "auto":
+        latest = os.path.join(cfg.train.save_dir, cfg.train.tag + "_latest")
+        if os.path.isdir(latest):
+            trainer.resume(latest)
+        else:
+            print(f"--resume auto: no checkpoint at {latest}, starting fresh")
+    elif args.resume:
         trainer.resume(args.resume)
     if args.profile:
         # Tracing/profiling: the aux subsystem the reference lacks entirely

@@ -320,6 +320,10 @@ class Trainer:
 
             if (epoch + 1) % cfg.train.save_frequency == 0:
                 self.save(f"_epoch{epoch}", epoch)
+            # crash/preemption recovery (SURVEY.md §5: the reference has no
+            # resume story): a rolling full train-state checkpoint every
+            # epoch; `--resume auto` picks it up
+            self.save("_latest", epoch + 1)
         return last_scores
 
     def print_sample(self) -> None:
