@@ -74,11 +74,15 @@ def main(argv=None) -> None:
         # (no hidden extra epoch of updates).
         import jax
 
-        state_before = trainer.state
+        from vct_tpu.parallel.mesh import replicate
+
+        # host copy: the train step donates its input state, so the live
+        # device buffers are invalidated by the profiled epoch
+        state_before = jax.device_get(trainer.state)
         jax.profiler.start_trace(args.profile)
         trainer.train_epoch(trainer.start_epoch)
         jax.profiler.stop_trace()
-        trainer.state = state_before
+        trainer.state = replicate(trainer.mesh, state_before)
         print(f"profile trace written to {args.profile}")
     scores = trainer.fit()
     if writer is not None:
