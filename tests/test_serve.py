@@ -109,3 +109,47 @@ def test_bad_payloads(server):
     # caption_video without clip weights configured
     status, payload = _post(server, "/v1/caption_video", b"\x00\x01")
     assert status == 400 and "clip_weights" in payload["error"]
+
+
+def test_long_video_features_accepted(server):
+    """T > E is legitimate at a serving boundary (e.g. fps sampling of long
+    clips); the server must subsample, not reject."""
+    arr = np.random.default_rng(4).standard_normal((E_FEAT * 3, E_FEAT)).astype(np.float32)
+    status, payload = _post(server, "/v1/caption", _npy_bytes(arr))
+    assert status == 200 and isinstance(payload["caption"], str)
+
+
+def test_single_frame_features_accepted(server):
+    arr = np.random.default_rng(5).standard_normal((1, E_FEAT)).astype(np.float32)
+    status, payload = _post(server, "/v1/caption", _npy_bytes(arr))
+    assert status == 200
+
+
+def test_close_fails_pending_requests():
+    """close() must wake queued requests instead of letting them time out."""
+    import queue as q
+
+    from vct_tpu.serve import _Request
+
+    class Dummy:
+        _queue = q.Queue()
+        _stop = __import__("threading").Event()
+
+        def _worker_join(self):
+            pass
+
+    from vct_tpu.serve import CaptionService
+
+    svc = object.__new__(CaptionService)
+    svc._queue = q.Queue()
+    svc._stop = __import__("threading").Event()
+
+    class _T:
+        def join(self, timeout=None):
+            pass
+
+    svc._worker = _T()
+    r = _Request(np.zeros((2, 2), np.float32))
+    svc._queue.put(r)
+    svc.close()
+    assert r.event.is_set() and r.error == "server shutting down"

@@ -231,3 +231,29 @@ def test_latest_checkpoint_and_resume(workspace):
     tr2.resume(latest)
     assert tr2.start_epoch == cfg.train.epoch  # finished run -> nothing left
     assert int(tr2.state.step) == int(tr.state.step)
+
+
+def test_earlystop_marks_latest_concluded(workspace):
+    """An early-stopped run's rolling checkpoint must resume to 'nothing
+    left', not restart the remaining epochs."""
+    import dataclasses
+    import os
+
+    from vct_tpu.config import TrainConfig
+    from vct_tpu.train.loop import Trainer
+
+    cfg = make_config(workspace)
+    tcfg = dataclasses.replace(cfg.train, earlystop=0, epoch=6,
+                               metric_earlystop=False,
+                               save_dir=str(workspace / "es_ckpt"), tag="es")
+    cfg = cfg.replace(train=tcfg)
+    tr = Trainer(cfg, log=lambda *_: None)
+    # deterministic worsening val loss -> patience 0 stops at epoch 1
+    vals = iter([1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+    tr.val_epoch = lambda: {"loss": next(vals)}
+    tr.fit()
+    assert tr.earlystop.early_stop  # sanity: it actually early-stopped
+
+    tr2 = Trainer(cfg, log=lambda *_: None)
+    tr2.resume(os.path.join(cfg.train.save_dir, cfg.train.tag + "_latest"))
+    assert tr2.start_epoch == cfg.train.epoch  # concluded, nothing to train

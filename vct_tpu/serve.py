@@ -56,6 +56,11 @@ class CaptionService:
         self.log = log
         self.max_batch = max_batch
         self.batch_timeout = batch_timeout_ms / 1000.0
+        if len(cfg.model.modal_shape) != 1:
+            raise ValueError(
+                f"the server serves single-modality models; config has "
+                f"modal={cfg.model.modal}"
+            )
         self.model, self.tokenizer, variables = make_trainer_pieces(cfg)
         self.variables = load_checkpoint_into(variables, ckpt_path, log=log)
         self.decode_fn = make_greedy_fn(
@@ -65,31 +70,48 @@ class CaptionService:
         self._jnp = jnp
 
         self.clip_params = None
-        self.tower = None
+        self.tower_apply = None
         if clip_weights:
+            import jax
+
             from vct_tpu.cli.predict import load_clip_params
             from vct_tpu.clip.vision import CLIPVisionTower
 
             self.clip_params = load_clip_params(clip_weights)
-            self.tower = CLIPVisionTower()
+            tower = CLIPVisionTower()
+            # jit ONCE: tower.apply is a fresh bound method per access, so a
+            # per-request jax.jit would re-trace + recompile every call
+            self.tower_apply = jax.jit(
+                lambda px: tower.apply({"params": self.clip_params}, px)
+            )
+
+        # compile + warm the decode program NOW so /healthz is truthful and
+        # the first real requests don't burn their timeout on XLA compilation
+        e = cfg.model.modal_shape[0]
+        warm_f = jnp.zeros((max_batch, cfg.tpu.max_frames, e), jnp.float32)
+        warm_m = jnp.zeros((max_batch, cfg.tpu.max_frames), bool)
+        np.asarray(self.decode_fn(self.variables, [warm_f], [warm_m])[0])
 
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
+        self.stats = {"requests": 0, "batches": 0}
         self._worker = threading.Thread(target=self._batch_loop, daemon=True)
         self._worker.start()
-        self.stats = {"requests": 0, "batches": 0}
 
     # -- public API ---------------------------------------------------------
 
     def caption_features(self, feats: np.ndarray, timeout: float = 60.0) -> str:
         """(T, E) or (E, T) features -> caption. Blocks until served."""
         feats = np.asarray(feats, np.float32)
-        feats = np.squeeze(feats)
+        if feats.ndim == 3 and feats.shape[0] == 1:  # leading batch dim
+            feats = feats[0]
         if feats.ndim != 2:
             raise ValueError(f"expected 2-D features, got {feats.shape}")
-        if feats.shape[0] > feats.shape[1]:  # reference orientation rule
-            feats = feats.T
         e = self.cfg.model.modal_shape[0]
+        # orientation by the known model dim, NOT the offline T<E heuristic:
+        # long videos legitimately have T > E at a serving boundary
+        if feats.shape[1] != e and feats.shape[0] == e:
+            feats = feats.T
         if feats.shape[1] != e:
             raise ValueError(f"feature dim {feats.shape[1]} != model dim {e}")
         req = _Request(feats)
@@ -102,11 +124,9 @@ class CaptionService:
 
     def caption_video(self, video_bytes: bytes, ext_type: str = "uni_12",
                       timeout: float = 120.0) -> str:
-        if self.tower is None:
+        if self.tower_apply is None:
             raise ValueError("server started without --clip_weights; "
                              "send features to /v1/caption instead")
-        import jax
-
         from vct_tpu.clip import preprocess_frames, sample_frames
 
         with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
@@ -114,15 +134,21 @@ class CaptionService:
             f.flush()
             frames = sample_frames(f.name, ext_type)
         pixels = preprocess_frames(frames)
-        feats = np.asarray(
-            jax.jit(self.tower.apply)({"params": self.clip_params},
-                                      self._jnp.asarray(pixels))
-        )
+        feats = np.asarray(self.tower_apply(self._jnp.asarray(pixels)))
         return self.caption_features(feats, timeout=timeout)
 
     def close(self):
         self._stop.set()
         self._worker.join(timeout=5)
+        # fail anything still queued so handler threads don't sit out their
+        # full timeout against a dead worker
+        while True:
+            try:
+                r = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            r.error = "server shutting down"
+            r.event.set()
 
     # -- batcher ------------------------------------------------------------
 
@@ -202,7 +228,9 @@ def make_handler(service: CaptionService):
                     self._reply(404, {"error": f"no route {self.path}"})
                     return
                 self._reply(200, {"caption": caption})
-            except (ValueError, TimeoutError) as e:
+            except TimeoutError as e:
+                self._reply(503, {"error": str(e)})
+            except ValueError as e:
                 self._reply(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})

@@ -316,6 +316,10 @@ class Trainer:
             self.earlystop(value, save_fn=lambda: self.save("_earlystop", epoch))
             if self.earlystop.early_stop:
                 self.log(f"early stop at epoch {epoch}")
+                # mark the run CONCLUDED in the rolling checkpoint: a
+                # `--resume auto` relaunch must see nothing left to train,
+                # not restart the remaining epochs of a finished run
+                self.save("_latest", cfg.train.epoch)
                 break
 
             if (epoch + 1) % cfg.train.save_frequency == 0:
