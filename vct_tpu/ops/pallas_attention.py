@@ -76,8 +76,10 @@ def fused_attention(
     """
     b, tq, h, d = q.shape
     tk = k.shape[1]
-    tq_p = _round_up(tq, 8)
-    tk_p = _round_up(tk, 8)
+    # sublane quantum: 8 for fp32, 16 for bf16 (pallas guide tiling table)
+    sub = 16 if q.dtype == jnp.bfloat16 else 8
+    tq_p = _round_up(tq, sub)
+    tk_p = _round_up(tk, sub)
 
     # Pad sequence axes to the sublane quantum; padded keys are masked via the
     # bias so they contribute exp(-inf)=0, padded queries produce garbage rows
