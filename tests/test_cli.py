@@ -177,3 +177,31 @@ def test_train_cli_msrvtt_format(tmp_path, capsys):
     main(["-c", str(tmp_path / "config.json"), "--no_tensorboard"])
     out = capsys.readouterr().out
     assert "final scores" in out and "Bleu_4" in out
+
+
+def test_eval_cli_with_torch_pth_checkpoint(workspace, tmp_path, capsys):
+    """The released-checkpoint flow: eval -m <reference .pth> converts the
+    torch state dict on load (strict=False semantics) and scores."""
+    torch = pytest.importorskip("torch")
+
+    from tests import torch_ref
+    from tests.test_model_parity import reference_keyed_state
+
+    class TorchModel(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.video_encoder = torch_ref.RefMMEncoder(E_FEAT, 32, 2, 64, 1)
+            # vocab must match the workspace vocab.txt (5 specials + WORDS)
+            self.cap_decoder = torch_ref.RefCapDecoder(1, 32, 2, 64, 5 + len(WORDS))
+
+    torch.manual_seed(0)
+    sd = reference_keyed_state(TorchModel())
+    pth = tmp_path / "reference.pth"
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, pth)
+
+    from vct_tpu.cli.eval import main
+
+    main(["-c", str(workspace / "config.json"), "-m", str(pth)])
+    out = capsys.readouterr().out
+    assert "Bleu_4" in out and "CIDEr" in out
+    assert "missing=0" in out  # every model param came from the .pth
