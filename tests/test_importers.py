@@ -119,3 +119,44 @@ def test_import_univl_decoder(variables):
         np.asarray(out["params"]["video_encoder"]["unify_0"]["kernel"]),
         np.asarray(variables["params"]["video_encoder"]["unify_0"]["kernel"]),
     )
+
+
+def test_trainer_univl_config_key(tmp_path):
+    """model.caption_decoder.univl in the config triggers the UniVL decoder
+    import at Trainer build (reference train.py:212-216)."""
+    torch = pytest.importorskip("torch")
+
+    from vct_tpu.config import Config
+    from vct_tpu.train.loop import Trainer
+
+    sd = _fake_univl(np.random.default_rng(3))
+    pth = tmp_path / "univl.pth"
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, pth)
+
+    feat_dir = tmp_path / "feats"; feat_dir.mkdir()
+    np.save(feat_dir / "vid0.npy", np.zeros((3, 8), np.float32))
+    (tmp_path / "ann.txt").write_text("vid0 a cap")
+    (tmp_path / "vocab.txt").write_text(
+        "\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+                  + [f"w{i}" for i in range(V - 5)]))
+    split = {"feat_dir": [str(feat_dir)], "annotation_path": str(tmp_path / "ann.txt"),
+             "dataset": "msvd", "mode": "by_caption", "split_mode": "train",
+             "batch_size": 1}
+    cfg = Config.from_dict({
+        "data": {"train": split},
+        "train": {"task": "caption", "optimizer": {"name": "adam", "learning_rate": 1e-3},
+                  "epoch": 1, "save_dir": str(tmp_path / "c"), "log_dir": str(tmp_path / "l"),
+                  "tag": "u"},
+        "model": {"modal": ["a"], "modal_shape": [8], "embed_dim": E, "dropout": 0.0,
+                  "video_encoder": {"layer": 1, "nhead": 2, "feedforward": FF,
+                                    "mme": {"temporal": "encoding", "aggregation": "avg"}},
+                  "caption_decoder": {"layer": L, "nhead": 2, "feedforward": FF,
+                                      "univl": str(pth)}},
+        "tpu": {"max_frames": 3, "max_caption_len": 8, "dtype": "float32",
+                "mesh_data": 1, "vocab_path": str(tmp_path / "vocab.txt")},
+    })
+    tr = Trainer(cfg, log=lambda *_: None)
+    got = np.asarray(jax.device_get(
+        tr.variables["params"]["cap_decoder"]["generator"]["kernel"]))
+    np.testing.assert_array_equal(
+        got, sd["decoder.classifier.cls.predictions.decoder.weight"].T)

@@ -99,6 +99,15 @@ class Trainer:
 
         self.mesh = mesh or make_mesh(cfg.tpu.mesh_data, cfg.tpu.mesh_model)
         self.variables = self._init_variables()
+        if cfg.model.caption_decoder.univl:
+            # UniVL decoder import before pretrained_model, the reference's
+            # load order (train.py:212-216)
+            from vct_tpu.convert import import_univl_decoder
+
+            self.variables = import_univl_decoder(
+                self.variables, load_torch_state_dict(cfg.model.caption_decoder.univl)
+            )
+            self.log(f"imported UniVL decoder from {cfg.model.caption_decoder.univl}")
         if cfg.model.pretrained_model:
             self.load_pretrained(cfg.model.pretrained_model)
 
