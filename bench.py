@@ -76,7 +76,7 @@ def latency_mode() -> None:
         "metric": "video_to_caption_latency_p50",
         "value": round(lat[len(lat) // 2] * 1000, 2),
         "unit": "ms",
-        "p90_ms": round(lat[int(len(lat) * 0.9)] * 1000, 2),
+        "p90_ms": round(lat[max(0, -(-9 * len(lat) // 10) - 1)] * 1000, 2),
     }))
 
 

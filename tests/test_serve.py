@@ -129,16 +129,7 @@ def test_close_fails_pending_requests():
     """close() must wake queued requests instead of letting them time out."""
     import queue as q
 
-    from vct_tpu.serve import _Request
-
-    class Dummy:
-        _queue = q.Queue()
-        _stop = __import__("threading").Event()
-
-        def _worker_join(self):
-            pass
-
-    from vct_tpu.serve import CaptionService
+    from vct_tpu.serve import CaptionService, _Request
 
     svc = object.__new__(CaptionService)
     svc._queue = q.Queue()

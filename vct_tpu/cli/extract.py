@@ -47,6 +47,14 @@ def list_videos(path: str) -> List[pathlib.Path]:
     vids = sorted(q for q in p.iterdir() if q.suffix.lower() in VIDEO_EXTS)
     if not vids:
         raise SystemExit(f"no videos under {path!r} (looked for {VIDEO_EXTS})")
+    stems = {}
+    for v in vids:
+        if v.stem in stems:
+            raise SystemExit(
+                f"output collision: {stems[v.stem].name} and {v.name} would both "
+                f"write {v.stem}.npy — rename one"
+            )
+        stems[v.stem] = v
     return vids
 
 
@@ -64,8 +72,10 @@ def main(argv=None) -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
     clip_params = load_clip_params(args.clip_weights)
     tower = CLIPVisionTower()
-    # one compiled shape: pad the frame batch to batch_frames
-    apply = jax.jit(lambda px: tower.apply({"params": clip_params}, px))
+    # one compiled shape (frame batch padded to batch_frames); params stay a
+    # runtime argument so they are not baked into the program as constants
+    jitted = jax.jit(lambda params, px: tower.apply({"params": params}, px))
+    apply = lambda px: jitted(clip_params, px)  # noqa: E731
 
     def encode_frames(pixels: np.ndarray) -> np.ndarray:
         n = len(pixels)

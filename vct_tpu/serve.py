@@ -32,13 +32,14 @@ import numpy as np
 
 
 class _Request:
-    __slots__ = ("feats", "event", "caption", "error")
+    __slots__ = ("feats", "event", "caption", "error", "abandoned")
 
     def __init__(self, feats: np.ndarray):
         self.feats = feats  # (T, E) float32, already oriented
         self.event = threading.Event()
         self.caption: Optional[str] = None
         self.error: Optional[str] = None
+        self.abandoned = False  # client gave up; batcher skips it
 
 
 class CaptionService:
@@ -79,11 +80,11 @@ class CaptionService:
 
             self.clip_params = load_clip_params(clip_weights)
             tower = CLIPVisionTower()
-            # jit ONCE: tower.apply is a fresh bound method per access, so a
-            # per-request jax.jit would re-trace + recompile every call
-            self.tower_apply = jax.jit(
-                lambda px: tower.apply({"params": self.clip_params}, px)
-            )
+            # jit ONCE (tower.apply is a fresh bound method per access), with
+            # the params as a runtime argument — closure capture would embed
+            # ~350 MB of weights as traced constants
+            jitted = jax.jit(lambda params, px: tower.apply({"params": params}, px))
+            self.tower_apply = lambda px: jitted(self.clip_params, px)
 
         # compile + warm the decode program NOW so /healthz is truthful and
         # the first real requests don't burn their timeout on XLA compilation
@@ -107,6 +108,8 @@ class CaptionService:
             feats = feats[0]
         if feats.ndim != 2:
             raise ValueError(f"expected 2-D features, got {feats.shape}")
+        if feats.shape[0] == 0:
+            raise ValueError("features contain no frames")
         e = self.cfg.model.modal_shape[0]
         # orientation by the known model dim, NOT the offline T<E heuristic:
         # long videos legitimately have T > E at a serving boundary
@@ -114,9 +117,12 @@ class CaptionService:
             feats = feats.T
         if feats.shape[1] != e:
             raise ValueError(f"feature dim {feats.shape[1]} != model dim {e}")
+        if self._stop.is_set():
+            raise RuntimeError("server shutting down")
         req = _Request(feats)
         self._queue.put(req)
         if not req.event.wait(timeout):
+            req.abandoned = True  # don't waste a batch slot on a gone client
             raise TimeoutError("caption request timed out")
         if req.error:
             raise RuntimeError(req.error)
@@ -172,6 +178,9 @@ class CaptionService:
                     batch.append(self._queue.get(timeout=remaining))
                 except queue.Empty:
                     break
+            batch = [r for r in batch if not r.abandoned]
+            if not batch:
+                continue
             try:
                 fs, ms = zip(*(fit_time_axis(r.feats, max_t) for r in batch))
                 n = len(batch)

@@ -215,7 +215,9 @@ class Trainer:
             losses.append(metrics["loss"])
         if not losses:
             return 0.0
-        return float(jnp.mean(jnp.stack(losses)))
+        # one host sync at epoch end; plain numpy mean (jnp.stack of thousands
+        # of scalars would lower a huge concatenate, recompiled per epoch length)
+        return float(np.mean(jax.device_get(losses)))
 
     def val_epoch(self) -> Dict[str, float]:
         loader = self.loaders.get("validation")
