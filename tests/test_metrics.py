@@ -108,3 +108,22 @@ def test_full_scorer_pipeline():
     for key in ("Bleu_1", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr"):
         assert key in scores
         assert scores[key] > 0
+
+
+def test_hyphenated_compounds_stay_one_token():
+    """Stanford PTBTokenizer keeps 'well-known' as a single token; splitting
+    it would inflate n-gram credit for near-miss hypotheses."""
+    assert ptb.tokenize_caption("a well-known man") == ["a", "well-known", "man"]
+    assert ptb.tokenize_caption("state-of-the-art model") == ["state-of-the-art", "model"]
+
+
+def test_empty_reference_list_scores_zero():
+    """A video with zero ground-truth captions must score 0, not crash."""
+    from vct_tpu.evalcap.scorer import COCOScorer, make_coco_sample
+
+    gts, samples, ids = make_coco_sample(
+        {"v1": "a man runs", "v2": "a cat"},
+        {"v1": ["a man runs fast"], "v2": []},
+    )
+    scores = COCOScorer(verbose=False).score(gts, samples, ids)
+    assert all(np.isfinite(v) for v in scores.values())

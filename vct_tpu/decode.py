@@ -200,9 +200,17 @@ def beam_generate(
         tokens = _gather_beams(tokens, beam_idx)
         finished = _gather_beams(finished, beam_idx)
         lengths = _gather_beams(lengths, beam_idx)
-        caches = jax.tree_util.tree_map(
-            lambda c: _flatten_beam(_gather_beams(_unflatten_beam(c, b, k), beam_idx)),
-            caches,
+
+        def regather(c):
+            return _flatten_beam(_gather_beams(_unflatten_beam(c, b, k), beam_idx))
+
+        # only the self-attention cache depends on beam identity; the
+        # cross-attention ck/cv were broadcast identically across beams at
+        # init and never change — regathering them every token would be pure
+        # wasted HBM traffic
+        caches = tuple(
+            {**layer, "k": regather(layer["k"]), "v": regather(layer["v"])}
+            for layer in caches
         )
 
         tokens = jax.lax.dynamic_update_slice_in_dim(

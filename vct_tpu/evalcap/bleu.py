@@ -41,7 +41,7 @@ class Bleu:
             refs = [r.split() for r in gts[img_id]]
             c_len = len(hyp)
             # closest reference length (ties -> shorter, matching coco)
-            r_len = min((abs(len(r) - c_len), len(r)) for r in refs)[1]
+            r_len = min((abs(len(r) - c_len), len(r)) for r in refs)[1] if refs else 0
             total_c_len += c_len
             total_r_len += r_len
 

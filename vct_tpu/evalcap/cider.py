@@ -75,6 +75,6 @@ class Cider:
                 vr, nr, lr = counts2vec(ref)
                 for k, v in enumerate(sim(vh, vr, nh, nr, lh, lr)):
                     acc[k] += v
-            score_avg = sum(acc) / self.n / len(refs)
+            score_avg = sum(acc) / self.n / len(refs) if refs else 0.0
             scores.append(score_avg * 10.0)
         return sum(scores) / max(len(scores), 1), scores

@@ -86,5 +86,8 @@ class Meteor:
         scores = []
         for img_id in gts.keys():
             hyp = res[img_id][0].split()
-            scores.append(max(_score_pair(hyp, r.split()) for r in gts[img_id]))
+            refs = gts[img_id]
+            scores.append(
+                max(_score_pair(hyp, r.split()) for r in refs) if refs else 0.0
+            )
         return sum(scores) / max(len(scores), 1), scores

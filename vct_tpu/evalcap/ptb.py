@@ -24,7 +24,9 @@ PUNCTUATIONS = {
 _CONTRACTIONS = re.compile(r"(n't|'ll|'re|'ve|'s|'m|'d)$", re.IGNORECASE)
 
 _TOKEN = re.compile(
-    r"[a-zA-Z]+(?:'[a-zA-Z]+)?"  # words, possibly with attached contraction
+    # hyphenated compounds stay ONE token (PTBTokenizer keeps 'well-known');
+    # words may carry an attached contraction
+    r"[a-zA-Z]+(?:-[a-zA-Z]+)*(?:'[a-zA-Z]+)?"
     r"|\d+(?:[.,]\d+)*"  # numbers
     r"|\.\.\.|--"  # multi-char punct
     r"|[^\w\s]"  # single punct

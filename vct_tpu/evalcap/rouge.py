@@ -35,6 +35,8 @@ class Rouge:
             lcs = _lcs_len(h, rt)
             prec.append(lcs / len(h) if h else 0.0)
             rec.append(lcs / len(rt) if rt else 0.0)
+        if not prec:  # empty reference list -> no credit
+            return 0.0
         p, r = max(prec), max(rec)
         if p == 0.0 or r == 0.0:
             return 0.0

@@ -39,27 +39,33 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
-    """One (batch, head) cell: q [Tq, D], k/v [Tk, D], bias [Tq, Tk]."""
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    d = q.shape[-1]
-    scale = jax.lax.rsqrt(jnp.asarray(d, jnp.float32))
-
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    logits = logits * scale + bias_ref[0, 0]
-
+def _softmax_av(logits, v, o_ref):
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
     s = jnp.sum(e, axis=-1, keepdims=True)
     w = (e / s).astype(v.dtype)
-
     o_ref[0, 0] = jax.lax.dot_general(
         w, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(o_ref.dtype)
+
+
+def _qk_logits(q_ref, k_ref):
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    scale = jax.lax.rsqrt(jnp.asarray(q.shape[-1], jnp.float32))
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return logits * scale
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+    """One (batch, head) cell: q [Tq, D], k/v [Tk, D], bias [Tq, Tk]."""
+    _softmax_av(_qk_logits(q_ref, k_ref) + bias_ref[0, 0], v_ref[0, 0], o_ref)
+
+
+def _attn_kernel_nobias(q_ref, k_ref, v_ref, o_ref):
+    _softmax_av(_qk_logits(q_ref, k_ref), v_ref[0, 0], o_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -81,17 +87,6 @@ def fused_attention(
     tq_p = _round_up(tq, sub)
     tk_p = _round_up(tk, sub)
 
-    # Pad sequence axes to the sublane quantum; padded keys are masked via the
-    # bias so they contribute exp(-inf)=0, padded queries produce garbage rows
-    # that are sliced off.
-    full_bias = jnp.full((b, h, tq_p, tk_p), 0.0, jnp.float32)
-    if bias is not None:
-        full_bias = full_bias.at[:, :, :tq, :tk].set(
-            jnp.broadcast_to(bias, (b, h, tq, tk)).astype(jnp.float32)
-        )
-    if tk_p != tk:
-        full_bias = full_bias.at[:, :, :, tk:].set(NEG_INF)
-
     qp = jnp.pad(q, ((0, 0), (0, tq_p - tq), (0, 0), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, tk_p - tk), (0, 0), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, tk_p - tk), (0, 0), (0, 0)))
@@ -102,20 +97,52 @@ def fused_attention(
     vp = vp.transpose(0, 2, 1, 3)
 
     grid = (b, h)
+    qkv_specs = [
+        pl.BlockSpec((1, 1, tq_p, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tk_p, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tk_p, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec(
+        (1, 1, tq_p, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((b, h, tq_p, d), q.dtype)
+
+    if bias is None and tk_p == tk:
+        # fast path: nothing to mask, no bias tensor at all
+        out = pl.pallas_call(
+            _attn_kernel_nobias, grid=grid, in_specs=qkv_specs,
+            out_specs=out_spec, out_shape=out_shape, interpret=interpret,
+        )(qp, kp, vp)
+        return out.transpose(0, 2, 1, 3)[:, :tq]
+
+    # Build the bias at its MINIMAL broadcast shape (singleton batch/head dims
+    # stay singleton; the BlockSpec index map pins them to block 0) instead of
+    # materializing a full [B, H, Tq, Tk] logits-sized tensor in HBM. Padded
+    # key columns get NEG_INF so they contribute exp(-inf)=0; padded query
+    # rows produce garbage that is sliced off.
+    if bias is None:
+        bb, bh = 1, 1
+        small = jnp.zeros((1, 1, tq_p, tk_p), jnp.float32)
+    else:
+        bias4 = bias.astype(jnp.float32)
+        bias4 = jnp.reshape(bias4, (1,) * (4 - bias4.ndim) + bias4.shape)
+        bb, bh = bias4.shape[0], bias4.shape[1]
+        # sequence dims must be materialized before padding (a bias broadcast
+        # over queries would otherwise get ZERO rows in the padding); the
+        # batch/head dims stay minimal — that's where the memory win is
+        bias4 = jnp.broadcast_to(bias4, (bb, bh, tq, tk))
+        small = jnp.pad(bias4, ((0, 0), (0, 0), (0, tq_p - tq), (0, tk_p - tk)))
+    if tk_p != tk:
+        small = small.at[:, :, :, tk:].set(NEG_INF)
+
+    bias_spec = pl.BlockSpec(
+        (1, 1, tq_p, tk_p),
+        (lambda i, j: (i if bb > 1 else 0, j if bh > 1 else 0, 0, 0)),
+        memory_space=pltpu.VMEM,
+    )
     out = pl.pallas_call(
-        _attn_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, tq_p, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tk_p, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tk_p, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tq_p, tk_p), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, tq_p, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, tq_p, d), q.dtype),
-        interpret=interpret,
-    )(qp, kp, vp, full_bias)
+        _attn_kernel, grid=grid, in_specs=qkv_specs + [bias_spec],
+        out_specs=out_spec, out_shape=out_shape, interpret=interpret,
+    )(qp, kp, vp, small)
 
     return out.transpose(0, 2, 1, 3)[:, :tq]
