@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="beam size (0 = greedy, the reference's only mode)")
     p.add_argument("--out", type=str, default=None,
                    help="write {vid: caption} predictions JSON here")
+    p.add_argument("--metrics_out", type=str, default=None,
+                   help="write the metric dict as JSON here (for harnesses)")
     p.add_argument("--per_video", action="store_true",
                    help="also print per-video scores (reference COCOScorer keeps them)")
     add_device_args(p)
@@ -96,6 +98,10 @@ def main(argv=None) -> None:
         with open(args.out, "w") as f:
             json.dump(evaluate.predictions, f, indent=2, ensure_ascii=False)
         print(f"wrote predictions to {args.out}")
+    if args.metrics_out:
+        with open(args.metrics_out, "w") as f:
+            json.dump({k: float(v) for k, v in scores.items()}, f, indent=2)
+        print(f"wrote metrics to {args.metrics_out}")
 
 
 if __name__ == "__main__":
