@@ -205,3 +205,19 @@ def test_eval_cli_with_torch_pth_checkpoint(workspace, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Bleu_4" in out and "CIDEr" in out
     assert "missing=0" in out  # every model param came from the .pth
+
+
+def test_eval_cli_metrics_out(workspace, tmp_path):
+    from vct_tpu.cli.eval import main
+
+    if not (workspace / "ckpt" / "cli_earlystop").exists():  # standalone run
+        from vct_tpu.cli.train import main as train_main
+
+        train_main(["-c", str(workspace / "config.json"), "--no_tensorboard"])
+    mpath = tmp_path / "metrics.json"
+    main(["-c", str(workspace / "config.json"),
+          "-m", str(workspace / "ckpt" / "cli_earlystop"),
+          "--metrics_out", str(mpath)])
+    metrics = json.loads(mpath.read_text())
+    assert set(metrics) >= {"Bleu_4", "METEOR", "ROUGE_L", "CIDEr"}
+    assert all(isinstance(v, float) for v in metrics.values())
