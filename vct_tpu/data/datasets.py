@@ -25,7 +25,7 @@ from __future__ import annotations
 import abc
 import json
 import pathlib
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

@@ -23,8 +23,7 @@ Beam search is new capability — the reference declares ``beam_decode`` and a
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,7 @@ Reference semantics reproduced (with citations):
 from __future__ import annotations
 
 import math
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -23,7 +23,7 @@ Multi-chip correctness is exercised on a virtual 8-device CPU mesh in
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np

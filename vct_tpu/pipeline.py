@@ -15,7 +15,7 @@ Host side keeps only what must be host work: video decode + frame sampling
 from __future__ import annotations
 
 import functools
-from typing import Callable, List, Optional
+from typing import Callable, List
 
 import jax
 import jax.numpy as jnp

@@ -43,7 +43,6 @@ from vct_tpu.train.optimizers import (
     set_learning_rate,
 )
 from vct_tpu.train.state import (
-    TrainState,
     make_train_state,
     restore_checkpoint,
     save_checkpoint,
