@@ -118,8 +118,8 @@ std::string parse_header(FILE* f, NpyInfo* info) {
   // squeeze singleton dims (datasets.load_feature does np.squeeze)
   std::vector<int64_t> sq;
   for (int64_t d : dims) if (d != 1) sq.push_back(d);
-  if (sq.empty() && !dims.empty()) sq.push_back(1);
-  if (sq.size() == 1) { sq.push_back(1); }  // (T,) -> (T, 1) is still an error below if e mismatches
+  // 0-D/1-D after squeeze is an error, matching datasets.load_feature's
+  // strictness — never silently promote (T,) to a single frame.
   if (sq.size() != 2) return "feature is not 2-D after squeeze";
   info->rows = sq[0];
   info->cols = sq[1];

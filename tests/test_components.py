@@ -162,10 +162,21 @@ def test_clip_symmetric_losses(rng):
         float(torch_ref.csl_torch(torch.tensor(v), torch.tensor(t), 0.5)),
         atol=1e-6,
     )
+    # WDS parity must hold at the *call-site* semantics: the reference's
+    # Matching invokes loss_fn(text_feat, vid_feat) (Matching.py:27-30), so
+    # its dual softmax (dim=0) normalizes over texts per video. vct_tpu calls
+    # fn(vid, text) with the transposed sim matrix, hence axis=1 — equivalent
+    # because the symmetric CE is transpose-invariant. Assert against torch
+    # run in the reference's argument order.
     np.testing.assert_allclose(
         float(
             losses.clip_symmetric_loss_wds(jnp.asarray(v), jnp.asarray(t), jnp.asarray(0.7))
         ),
-        float(torch_ref.csl_wds_torch(torch.tensor(v), torch.tensor(t), 0.7)),
+        float(torch_ref.csl_wds_torch(torch.tensor(t), torch.tensor(v), 0.7)),
         atol=1e-5,
     )
+    # the two orientations genuinely differ (the round-1 bug): same-order torch
+    # must NOT match, otherwise this test can't catch an axis regression
+    a = float(losses.clip_symmetric_loss_wds(jnp.asarray(v), jnp.asarray(t), jnp.asarray(0.7)))
+    b = float(torch_ref.csl_wds_torch(torch.tensor(v), torch.tensor(t), 0.7))
+    assert abs(a - b) > 1e-4

@@ -58,6 +58,17 @@ def test_missing_file_raises(files):
         native.load_padded_batch(["/nope/missing.npy"], 8, E)
 
 
+def test_one_dim_raises_like_python(tmp_path):
+    """A (T,) feature must error in BOTH paths — never silently load as a
+    single frame (ADVICE round 1: the native path used to promote to 2-D)."""
+    bad = tmp_path / "onedim.npy"
+    np.save(bad, np.zeros((E,), np.float32))
+    with pytest.raises(ValueError):
+        load_feature(str(bad))
+    with pytest.raises(IOError, match="not 2-D"):
+        native.load_padded_batch([str(bad)], 8, E)
+
+
 def test_dataloader_native_matches_python(tmp_path):
     from vct_tpu.data.datasets import MSVDDataset
     from vct_tpu.data.loader import DataLoader

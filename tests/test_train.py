@@ -257,3 +257,219 @@ def test_earlystop_marks_latest_concluded(workspace):
     tr2 = Trainer(cfg, log=lambda *_: None)
     tr2.resume(os.path.join(cfg.train.save_dir, cfg.train.tag + "_latest"))
     assert tr2.start_epoch == cfg.train.epoch  # concluded, nothing to train
+
+
+def test_resume_restores_run_control(workspace):
+    """Earlystop best/counter and Plateau scheduler state survive a
+    crash/resume, so the first post-resume epoch cannot overwrite a better
+    pre-crash best checkpoint (round-1 VERDICT weak #4)."""
+    import dataclasses
+    import os
+
+    from vct_tpu.config import LRSchedulerConfig
+    from vct_tpu.train.loop import Trainer
+
+    cfg = make_config(workspace)
+    sched = LRSchedulerConfig(name="ReduceLROnPlateau", factor=0.5, patience=3)
+    tcfg = dataclasses.replace(cfg.train, lr_scheduler=sched, earlystop=5, epoch=2,
+                               metric_earlystop=False,
+                               save_dir=str(workspace / "rc_ckpt"), tag="rc")
+    cfg = cfg.replace(train=tcfg)
+
+    tr = Trainer(cfg, log=lambda *_: None)
+    # deterministic val losses: epoch 0 = 1.0 (best), epoch 1 = 3.0 (worse)
+    vals = iter([1.0, 3.0])
+    tr.val_epoch = lambda: {"loss": next(vals)}
+    tr.fit()
+    assert tr.earlystop.best_score == -1.0 and tr.earlystop.counter == 1
+    assert tr.scheduler.best == 1.0 and tr.scheduler.bad_epochs == 1
+
+    # "crash": a fresh Trainer has blank run control; resume must restore it
+    tr2 = Trainer(cfg, log=lambda *_: None)
+    assert tr2.earlystop.best_score is None
+    tr2.resume(os.path.join(cfg.train.save_dir, cfg.train.tag + "_latest"))
+    assert tr2.earlystop.best_score == -1.0
+    assert tr2.earlystop.counter == 1
+    assert tr2.scheduler.best == 1.0
+    assert tr2.scheduler.bad_epochs == 1
+    assert tr2.scheduler.lr == tr.scheduler.lr
+
+    # behavioral proof: a post-resume value worse than the pre-crash best must
+    # NOT register as an improvement (pre-fix it always did and overwrote the
+    # best checkpoint)
+    assert tr2.earlystop(2.0) is False
+    assert tr2.earlystop.counter == 2
+
+
+def test_resume_cosine_lr_matches_uninterrupted(workspace):
+    """After resume, the cosine schedule LR equals the uninterrupted run's
+    (restored from run_ctl rather than replayed)."""
+    import os
+
+    from vct_tpu.train.loop import Trainer
+    from vct_tpu.train.optimizers import current_learning_rate
+
+    cfg = make_config(workspace)
+    import dataclasses
+    tcfg = dataclasses.replace(cfg.train, epoch=3,
+                               save_dir=str(workspace / "cos_ckpt"), tag="cos")
+    cfg = cfg.replace(train=tcfg)
+    tr = Trainer(cfg, log=lambda *_: None)
+    tr.fit()
+    lr_end = tr.scheduler.lr
+
+    tr2 = Trainer(cfg, log=lambda *_: None)
+    tr2.resume(os.path.join(cfg.train.save_dir, cfg.train.tag + "_latest"))
+    assert tr2.scheduler.lr == lr_end
+    np.testing.assert_allclose(
+        current_learning_rate(tr2.state.opt_state), lr_end, rtol=1e-6
+    )
+
+
+# ---------------------------------------------------------------------------
+# validation-loss batching invariance (round-1 VERDICT weak #5)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_model(task):
+    from vct_tpu.config import ModelConfig, TPUConfig
+    from vct_tpu.models.mmt4caption import MMT4Caption
+
+    d = {
+        "modal": ["CLIP4Clip"],
+        "modal_shape": [E_FEAT],
+        "embed_dim": 32,
+        "dropout": 0.0,
+        "loss_beta": 0.5,
+        "activation": "gelu",
+        "text_enc_type": "CLIP",
+        "video_encoder": {"layer": 1, "nhead": 2, "feedforward": 64,
+                          "mme": {"temporal": "encoding", "modal_different": True,
+                                  "do_norm": False, "aggregation": "avg"}},
+        "caption_decoder": {"layer": 1, "nhead": 2, "feedforward": 64,
+                            "sce_loss_alpha": 0.5},
+        "vocab_size": 40,
+    }
+    if task == "caption":
+        d["matching"] = None
+    else:
+        d["matching"] = {"enable_tem": False, "matching_loss": "CSL_WDS",
+                         "temperature": 0.7}
+    return MMT4Caption(ModelConfig.from_dict(d))
+
+
+def _fake_batch(rng, idx, n_rows, n_valid, s=9):
+    """A collate.Batch of n_rows with the last n_rows-n_valid as filler
+    (copies of row 0, like collate). All captions share one length so the
+    SCE rect width is batching-independent (reference rect = batch max)."""
+    from vct_tpu.data.collate import Batch
+
+    feats = rng.standard_normal((n_valid, T, E_FEAT)).astype(np.float32)
+    masks = np.zeros((n_valid, T), bool)
+    caps = rng.integers(3, 40, (n_valid, s)).astype(np.int32)
+    caps[:, 0] = 2
+    caps[:, -1] = 1
+    text = rng.standard_normal((n_valid, 512)).astype(np.float32)
+    if n_rows > n_valid:
+        fill = lambda a: np.concatenate([a, np.repeat(a[:1], n_rows - n_valid, 0)])
+        feats, masks, caps, text = fill(feats), fill(masks), fill(caps), fill(text)
+    batch = Batch([feats], [masks], tuple(f"c{idx}_{i}" for i in range(n_rows)),
+                  tuple(f"v{idx}_{i}" for i in range(n_rows)),
+                  token_ids=caps, token_mask=caps == 0, n_valid=n_valid)
+    batch._text = text  # stash for the fake text encoder below
+    return batch
+
+
+def _run_val(task, model, variables, batches, enc):
+    from vct_tpu.train.step import (batch_to_arrays, combine_eval_parts,
+                                    make_eval_step)
+
+    step = make_eval_step(model, task)
+    agg = {}
+    for b in batches:
+        arrays = batch_to_arrays(b, enc)
+        for k, v in step(variables, arrays).items():
+            agg[k] = agg.get(k, 0.0) + float(v)
+    return combine_eval_parts(task, agg, sce_alpha=0.5, loss_beta=0.5)
+
+
+@pytest.mark.parametrize("task", ["caption", "match", "cross"])
+def test_val_loss_batching_invariant(task):
+    """Filler rows must contribute nothing: [4 real] + [1 real + 3 filler]
+    scores exactly like [4 real] + [1 real]. For the caption loss (pure
+    per-position sums) the stronger property also holds: one batch of 5
+    equals the split — the contrastive losses legitimately depend on batch
+    composition (negative count), exactly like the reference's ragged
+    batches, so only filler-invariance applies there."""
+    from vct_tpu.models.mmt4caption import MMT4Caption
+    from vct_tpu.train.step import (batch_to_arrays, combine_eval_parts,
+                                    make_eval_step)
+
+    rng = np.random.default_rng(3)
+    model = _tiny_model(task)
+    whole = _fake_batch(rng, 0, 5, 5)
+
+    # split the SAME data into [4] + [1 + 3 filler]
+    def slice_batch(b, lo, hi, n_rows):
+        import copy
+        from vct_tpu.data.collate import Batch
+
+        take = lambda a: a[lo:hi]
+        feats, masks = take(b.feats[0]), take(b.masks[0])
+        caps, text = take(b.token_ids), take(b._text)
+        n_valid = hi - lo
+        if n_rows > n_valid:
+            fill = lambda a: np.concatenate([a, np.repeat(a[:1], n_rows - n_valid, 0)])
+            feats, masks, caps, text = fill(feats), fill(masks), fill(caps), fill(text)
+        nb = Batch([feats], [masks], b.captions[lo:hi], b.vids[lo:hi],
+                   token_ids=caps, token_mask=caps == 0, n_valid=n_valid)
+        nb._text = text
+        return nb
+
+    part1 = slice_batch(whole, 0, 4, 4)
+    part2 = slice_batch(whole, 4, 5, 4)       # 1 real + 3 filler rows
+    part2_pure = slice_batch(whole, 4, 5, 1)  # the same 1 real row, no filler
+
+    text_of = {}
+    def text_encoder(captions):
+        return text_of[captions[0]]
+
+    if task == "caption":
+        init_args = ([jnp.zeros((2, T, E_FEAT))], None,
+                     jnp.zeros((2, 9), jnp.int32), jnp.zeros((2, 9), bool))
+        variables = model.init(jax.random.PRNGKey(0), *init_args,
+                               method=MMT4Caption.caption_loss)
+        enc = None
+    else:
+        init_args = ([jnp.zeros((2, T, E_FEAT))], None,
+                     jnp.zeros((2, 9), jnp.int32), jnp.zeros((2, 9), bool),
+                     jnp.zeros((2, 512)))
+        variables = model.init(jax.random.PRNGKey(0), *init_args,
+                               method=MMT4Caption.cross_loss)
+        enc = text_encoder
+
+    step = make_eval_step(model, task)
+
+    def run(batches):
+        agg = {}
+        for b in batches:
+            text_of[b.captions[0]] = b._text
+            arrays = batch_to_arrays(b, enc)
+            for k, v in step(variables, arrays).items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+        return combine_eval_parts(task, agg, sce_alpha=0.5, loss_beta=0.5)
+
+    with_filler = run([part1, part2])
+    no_filler = run([part1, part2_pure])
+    for k in no_filler:
+        np.testing.assert_allclose(
+            with_filler[k], no_filler[k], rtol=2e-5,
+            err_msg=f"filler rows changed {k}",
+        )
+    if task == "caption":
+        one = run([whole])
+        for k in one:
+            np.testing.assert_allclose(
+                with_filler[k], one[k], rtol=2e-5,
+                err_msg=f"batching changed {k}",
+            )

@@ -63,7 +63,21 @@ def make_trainer_pieces(cfg: Config):
     return model, tokenizer, variables
 
 
-def load_checkpoint_into(variables, path: str, log=print):
+def memory_mask_advisory(cfg: Config) -> str:
+    """One-line parity note for reference ``.pth`` loads: vct_tpu's decoder
+    masks padded memory slots by default, the reference never does
+    (``CapDecoder.py:49-52``) — observable only when videos are shorter than
+    ``tpu.max_frames``. Empty string when the quirk flag already matches."""
+    if cfg is None or cfg.tpu.quirk_no_memory_mask_in_decoder:
+        return ""
+    return (
+        "note: decoder cross-attention masks padded memory slots (a fix over "
+        "the reference); for bit-parity evals with this .pth on videos "
+        "shorter than max_frames set tpu.quirk_no_memory_mask_in_decoder=true"
+    )
+
+
+def load_checkpoint_into(variables, path: str, log=print, cfg: Config = None):
     """Load a ``.pth`` (reference format, converted) or orbax checkpoint.
     Lenient like every reference load site (``strict=False``)."""
     if path.endswith((".pth", ".pt", ".bin")):
@@ -73,6 +87,9 @@ def load_checkpoint_into(variables, path: str, log=print):
         variables, report = convert_state_dict(variables, sd)
         log(f"loaded {path}: missing={len(report['missing'])} "
             f"unexpected={len(report['unexpected'])}")
+        advisory = memory_mask_advisory(cfg)
+        if advisory:
+            log(advisory)
         return variables
     from vct_tpu.train.state import restore_params_only
 

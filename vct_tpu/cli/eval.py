@@ -54,7 +54,7 @@ def evaluate(cfg, ckpt_path: str, beam: int = 0, log=print) -> Dict[str, float]:
     from vct_tpu.evalcap.scorer import COCOScorer, make_coco_sample
 
     model, tokenizer, variables = make_trainer_pieces(cfg)
-    variables = load_checkpoint_into(variables, ckpt_path, log=log)
+    variables = load_checkpoint_into(variables, ckpt_path, log=log, cfg=cfg)
 
     ds, loader = build_dataloader(cfg.data.eval, cfg.tpu)
     if beam > 0:

@@ -79,7 +79,7 @@ def predict(cfg, args, log=print) -> str:
     from vct_tpu.decode import make_beam_fn, make_greedy_fn
 
     model, tokenizer, variables = make_trainer_pieces(cfg)
-    variables = load_checkpoint_into(variables, args.model, log=log)
+    variables = load_checkpoint_into(variables, args.model, log=log, cfg=cfg)
 
     if args.video:
         # fused pixels->caption: CLIP tower + captioner in ONE jitted program

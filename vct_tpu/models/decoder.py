@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from vct_tpu.models.embeddings import PositionalEmbedding
 from vct_tpu.models.layers import Cache, TransformerDecoder
-from vct_tpu.models.losses import cross_entropy, sce_loss
+from vct_tpu.models.losses import cross_entropy_parts, sce_loss_parts
 from vct_tpu.ops.attention import causal_bias, combine_bias, padding_bias
 
 Dtype = Any
@@ -94,11 +94,17 @@ class CapDecoder(nn.Module):
         *,
         deterministic: bool = True,
         return_attn: bool = False,
+        row_valid: Optional[jnp.ndarray] = None,
+        return_parts: bool = False,
     ):
         """Teacher-forced training/val forward (``CapDecoder.py:34-60``).
 
-        memory [B, T, E]; tgt [B, S] ids; tgt_padding_mask [B, S] True=pad.
-        Returns (logits [B, S-1, V], loss, attn or None).
+        memory [B, T, E]; tgt [B, S] ids; tgt_padding_mask [B, S] True=pad;
+        ``row_valid`` [B] bool excludes collate filler rows from the loss (the
+        reference's batches are ragged and never contain filler).
+        Returns (logits [B, S-1, V], loss, attn or None); with
+        ``return_parts`` the loss slot is (ce_sum, ce_n, rce_sum, rce_n) so
+        callers can aggregate exactly across batches.
         """
         tgt_input = tgt[:, :-1]
         tgt_out = tgt[:, 1:]
@@ -122,25 +128,36 @@ class CapDecoder(nn.Module):
 
         flat_logits = logits.reshape(-1, self.vocab_size)
         flat_labels = tgt_out.reshape(-1)
+        valid_flat = None
+        if row_valid is not None:
+            valid_flat = jnp.broadcast_to(row_valid[:, None], tgt_out.shape).reshape(-1)
         if self.sce_loss_alpha == 1.0:
-            loss = cross_entropy(flat_logits, flat_labels, self.pad_id)
+            ce_sum, ce_n = cross_entropy_parts(
+                flat_logits, flat_labels, self.pad_id, valid_flat
+            )
+            parts = (ce_sum, ce_n, jnp.zeros(()), jnp.zeros(()))
         else:
             # rect_mask: positions inside the reference's ragged [B, S_batch-1]
             # rectangle, where S_batch = longest caption in the batch (see
-            # losses.sce_loss docstring).
+            # losses.sce_loss docstring). Filler rows are copies of real rows,
+            # so they never raise batch_max; they are excluded via valid_flat.
             lengths = jnp.sum(~tgt_padding_mask, axis=1)
             batch_max = jnp.max(lengths)
             pos = jnp.arange(tgt_out.shape[1])[None, :]
             rect = jnp.broadcast_to(pos < batch_max - 1, tgt_out.shape).reshape(-1)
-            loss = sce_loss(
+            parts = sce_loss_parts(
                 flat_logits,
                 flat_labels,
-                alpha=self.sce_loss_alpha,
-                beta=1.0 - self.sce_loss_alpha,
                 ignore_index=self.pad_id,
                 rect_mask=rect,
+                valid=valid_flat,
             )
-        return logits, loss, attn
+        ce_sum, ce_n, rce_sum, rce_n = parts
+        loss = (
+            self.sce_loss_alpha * ce_sum / jnp.maximum(ce_n, 1.0)
+            + (1.0 - self.sce_loss_alpha) * rce_sum / jnp.maximum(rce_n, 1.0)
+        )
+        return logits, (parts if return_parts else loss), attn
 
     # ---- full-prefix single-word scoring (reference-style, used as the
     # parity/benchmark baseline; production decoding uses the cache) ----------

@@ -38,7 +38,15 @@ class Matching(nn.Module):
                 "temperature", nn.initializers.ones, (1,), jnp.float32
             )
 
-    def __call__(self, text_feat: jnp.ndarray, vid_feat: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        text_feat: jnp.ndarray,
+        vid_feat: jnp.ndarray,
+        valid: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """``valid`` [B] bool restricts the contrastive batch to real rows —
+        collate filler rows (duplicates of row 0) would otherwise appear as
+        false negatives of their own positive pair."""
         if self.video_dim != self.text_dim:
             vid_feat = self.v_proj(vid_feat.astype(self.dtype))
         if self.enable_tem:
@@ -48,4 +56,4 @@ class Matching(nn.Module):
         else:
             tem = None
         fn = clip_symmetric_loss if self.loss == "CSL" else clip_symmetric_loss_wds
-        return fn(vid_feat, text_feat, tem)
+        return fn(vid_feat, text_feat, tem, valid)

@@ -129,15 +129,40 @@ class MMT4Caption(nn.Module):
         token_pad_mask: jnp.ndarray,
         *,
         deterministic: bool = True,
+        row_valid: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        """Caption task (``MMT4Caption.py:114-121``) -> scalar loss."""
+        """Caption task (``MMT4Caption.py:114-121``) -> scalar loss.
+        ``row_valid`` [B] bool excludes collate filler rows."""
         memory, mem_mask, _ = self.video_encoder(
             video_feats, video_masks, deterministic=deterministic
         )
         _, loss, _ = self.cap_decoder(
-            memory, token_ids, token_pad_mask, mem_mask, deterministic=deterministic
+            memory, token_ids, token_pad_mask, mem_mask,
+            deterministic=deterministic, row_valid=row_valid,
         )
         return loss
+
+    def caption_loss_parts(
+        self,
+        video_feats: List[jnp.ndarray],
+        video_masks: Optional[List[jnp.ndarray]],
+        token_ids: jnp.ndarray,
+        token_pad_mask: jnp.ndarray,
+        *,
+        deterministic: bool = True,
+        row_valid: Optional[jnp.ndarray] = None,
+    ):
+        """-> (ce_sum, ce_n, rce_sum, rce_n) for exact cross-batch validation
+        aggregation (the per-batch mean would bias toward small final
+        batches)."""
+        memory, mem_mask, _ = self.video_encoder(
+            video_feats, video_masks, deterministic=deterministic
+        )
+        _, parts, _ = self.cap_decoder(
+            memory, token_ids, token_pad_mask, mem_mask,
+            deterministic=deterministic, row_valid=row_valid, return_parts=True,
+        )
+        return parts
 
     def caption_logits(
         self,
@@ -168,11 +193,13 @@ class MMT4Caption(nn.Module):
         text_feat: jnp.ndarray,
         *,
         deterministic: bool = True,
+        row_valid: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Match task (``MMT4Caption.py:123-130``): contrastive loss between
-        precomputed frozen text features and the encoder's agg feature."""
+        precomputed frozen text features and the encoder's agg feature.
+        ``row_valid`` restricts anchors AND negatives to the real sub-batch."""
         _, _, agg = self.video_encoder(video_feats, video_masks, deterministic=deterministic)
-        return self.matching(text_feat, agg)
+        return self.matching(text_feat, agg, valid=row_valid)
 
     def cross_loss(
         self,
@@ -183,17 +210,41 @@ class MMT4Caption(nn.Module):
         text_feat: jnp.ndarray,
         *,
         deterministic: bool = True,
+        row_valid: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Cross task (``MMT4Caption.py:132-144``) -> (loss, cap_loss, match_loss)."""
         memory, mem_mask, agg = self.video_encoder(
             video_feats, video_masks, deterministic=deterministic
         )
         _, cap_loss, _ = self.cap_decoder(
-            memory, token_ids, token_pad_mask, mem_mask, deterministic=deterministic
+            memory, token_ids, token_pad_mask, mem_mask,
+            deterministic=deterministic, row_valid=row_valid,
         )
-        match_loss = self.matching(text_feat, agg)
+        match_loss = self.matching(text_feat, agg, valid=row_valid)
         beta = self.config.loss_beta
         return beta * cap_loss + (1.0 - beta) * match_loss, cap_loss, match_loss
+
+    def cross_loss_parts(
+        self,
+        video_feats: List[jnp.ndarray],
+        video_masks: Optional[List[jnp.ndarray]],
+        token_ids: jnp.ndarray,
+        token_pad_mask: jnp.ndarray,
+        text_feat: jnp.ndarray,
+        *,
+        deterministic: bool = True,
+        row_valid: Optional[jnp.ndarray] = None,
+    ):
+        """-> (ce_sum, ce_n, rce_sum, rce_n, match_loss) for validation."""
+        memory, mem_mask, agg = self.video_encoder(
+            video_feats, video_masks, deterministic=deterministic
+        )
+        _, parts, _ = self.cap_decoder(
+            memory, token_ids, token_pad_mask, mem_mask,
+            deterministic=deterministic, row_valid=row_valid, return_parts=True,
+        )
+        match_loss = self.matching(text_feat, agg, valid=row_valid)
+        return parts + (match_loss,)
 
     # ---- decoding primitives (driven by vct_tpu.decode) ----------------------
 

@@ -10,7 +10,8 @@ callback so the training loop can write a full resumable orbax checkpoint.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+import math
+from typing import Callable, Dict, Optional
 
 
 class EarlyStopping:
@@ -51,3 +52,18 @@ class EarlyStopping:
             if self.counter >= self.patience:
                 self.early_stop = True
         return improved
+
+    # run-control checkpointing: without this, a resumed run resets
+    # best_score to None and the first post-resume epoch overwrites the
+    # pre-crash best checkpoint even when worse (round-1 VERDICT weak #4)
+    def state_dict(self) -> Dict[str, float]:
+        return {
+            "best_score": float("nan") if self.best_score is None else float(self.best_score),
+            "counter": float(self.counter),
+            "early_stop": 1.0 if self.early_stop else 0.0,
+        }
+
+    def load_state_dict(self, sd: Dict[str, float]) -> None:
+        self.best_score = None if math.isnan(sd["best_score"]) else float(sd["best_score"])
+        self.counter = int(sd["counter"])
+        self.early_stop = bool(sd["early_stop"])

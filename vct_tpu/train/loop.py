@@ -47,7 +47,12 @@ from vct_tpu.train.state import (
     restore_checkpoint,
     save_checkpoint,
 )
-from vct_tpu.train.step import batch_to_arrays, make_eval_step, make_train_step
+from vct_tpu.train.step import (
+    batch_to_arrays,
+    combine_eval_parts,
+    make_eval_step,
+    make_train_step,
+)
 
 METRIC_KEYS = ("Bleu_4", "METEOR", "ROUGE_L", "CIDEr")  # earlystop sum (train.py:267)
 
@@ -179,6 +184,11 @@ class Trainer:
             self.variables, report = convert_state_dict(self.variables, sd)
             self.log(f"loaded {path}: missing={len(report['missing'])} "
                      f"unexpected={len(report['unexpected'])}")
+            from vct_tpu.cli.common import memory_mask_advisory
+
+            advisory = memory_mask_advisory(self.cfg)
+            if advisory:
+                self.log(advisory)
         else:
             from vct_tpu.train.state import restore_params_only
 
@@ -219,19 +229,28 @@ class Trainer:
         return float(np.mean(jax.device_get(losses)))
 
     def val_epoch(self) -> Dict[str, float]:
+        """Validation losses. The step returns exact sum/count parts and the
+        reduction happens here, so the result is independent of batching and
+        collate filler rows contribute nothing (the reference's
+        mean-of-batch-means over ragged batches has a small final-batch bias;
+        this is the unbiased estimator of the same quantity)."""
         loader = self.loaders.get("validation")
         if loader is None:
             return {}
         sums: Dict[str, float] = {}
-        n = 0
         variables = {"params": self.state.params, "buffers": self.state.buffers}
         for batch in loader:
             arrays = self._shard(batch_to_arrays(batch, self.text_encoder))
-            metrics = self.val_step(variables, arrays)
-            for k, v in metrics.items():
+            parts = self.val_step(variables, arrays)
+            for k, v in parts.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
-            n += 1
-        return {k: v / max(n, 1) for k, v in sums.items()}
+        if not sums:
+            return {}
+        return combine_eval_parts(
+            self.task, sums,
+            sce_alpha=self.cfg.model.caption_decoder.sce_loss_alpha,
+            loss_beta=self.cfg.model.loss_beta,
+        )
 
     def eval_epoch(self, verbose: bool = False) -> Dict[str, float]:
         """Greedy-decode the eval split, score with the COCO scorers
@@ -276,17 +295,42 @@ class Trainer:
         os.makedirs(os.path.dirname(d) or ".", exist_ok=True)
         return d
 
+    def _run_ctl(self) -> Dict[str, float]:
+        """Flat run-control scalars: earlystop + scheduler internals, so a
+        resumed run makes the same save/stop/LR decisions as an uninterrupted
+        one (the reference restarts from scratch every time)."""
+        ctl = {f"es_{k}": v for k, v in self.earlystop.state_dict().items()}
+        ctl.update({f"sched_{k}": v for k, v in self.scheduler.state_dict().items()})
+        return ctl
+
     def save(self, suffix: str, epoch: int) -> str:
         path = self._ckpt_path(suffix)
-        save_checkpoint(path, jax.device_get(self.state), epoch=epoch)
+        save_checkpoint(path, jax.device_get(self.state), epoch=epoch,
+                        run_ctl=self._run_ctl())
         return path
 
     def resume(self, path: str) -> None:
-        self.state, self.start_epoch = restore_checkpoint(path, jax.device_get(self.state))
+        self.state, self.start_epoch, run_ctl = restore_checkpoint(
+            path, jax.device_get(self.state), run_ctl_template=self._run_ctl()
+        )
         self.state = replicate(self.mesh, self.state)
-        for _ in range(self.start_epoch):
-            if hasattr(self.scheduler, "T_max"):
-                self.scheduler.step()
+        if run_ctl is not None:
+            self.earlystop.load_state_dict(
+                {k[3:]: v for k, v in run_ctl.items() if k.startswith("es_")}
+            )
+            self.scheduler.load_state_dict(
+                {k[6:]: v for k, v in run_ctl.items() if k.startswith("sched_")}
+            )
+            lr = self.scheduler.lr
+            set_learning_rate(self.state.opt_state, lr)
+            self.log(f"restored run control: earlystop counter="
+                     f"{self.earlystop.counter} best={self.earlystop.best_score} lr={lr}")
+        else:
+            # pre-run_ctl checkpoint: best effort — replay the deterministic
+            # cosine schedule (Plateau/earlystop state is unrecoverable)
+            for _ in range(self.start_epoch):
+                if hasattr(self.scheduler, "T_max"):
+                    self.scheduler.step()
         self.log(f"resumed from {path} at epoch {self.start_epoch}")
 
     def fit(self) -> Dict[str, float]:

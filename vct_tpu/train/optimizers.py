@@ -53,21 +53,31 @@ class CosineAnnealingLR:
             / 2
         )
 
+    # run-control checkpointing (flat float scalars; see state.save_checkpoint)
+    def state_dict(self) -> Dict[str, float]:
+        return {"epoch": float(self.epoch)}
+
+    def load_state_dict(self, sd: Dict[str, float]) -> None:
+        self.epoch = int(sd["epoch"])
+
 
 class ReduceLROnPlateau:
-    """torch.optim.lr_scheduler.ReduceLROnPlateau (min mode, default eps)."""
+    """torch.optim.lr_scheduler.ReduceLROnPlateau (min mode, default
+    threshold=1e-4 in 'rel' mode: improvement iff metric < best * (1 - 1e-4),
+    matching torch's ``_is_better``)."""
 
     def __init__(self, base_lr: float, factor: float = 0.1, patience: int = 10,
-                 min_lr: float = 0.0):
+                 min_lr: float = 0.0, threshold: float = 1e-4):
         self.current = base_lr
         self.factor = factor
         self.patience = patience
         self.min_lr = min_lr
+        self.threshold = threshold
         self.best: Optional[float] = None
         self.bad_epochs = 0
 
     def step(self, metric: float) -> float:
-        if self.best is None or metric < self.best:
+        if self.best is None or metric < self.best * (1.0 - self.threshold):
             self.best = metric
             self.bad_epochs = 0
         else:
@@ -81,6 +91,18 @@ class ReduceLROnPlateau:
     def lr(self) -> float:
         return self.current
 
+    def state_dict(self) -> Dict[str, float]:
+        return {
+            "current": float(self.current),
+            "best": float("nan") if self.best is None else float(self.best),
+            "bad_epochs": float(self.bad_epochs),
+        }
+
+    def load_state_dict(self, sd: Dict[str, float]) -> None:
+        self.current = float(sd["current"])
+        self.best = None if math.isnan(sd["best"]) else float(sd["best"])
+        self.bad_epochs = int(sd["bad_epochs"])
+
 
 class ConstantLR:
     def __init__(self, base_lr: float):
@@ -92,6 +114,12 @@ class ConstantLR:
     @property
     def lr(self) -> float:
         return self.base_lr
+
+    def state_dict(self) -> Dict[str, float]:
+        return {}
+
+    def load_state_dict(self, sd: Dict[str, float]) -> None:
+        pass
 
 
 def build_scheduler(cfg: TrainConfig):

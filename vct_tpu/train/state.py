@@ -16,6 +16,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclasses.dataclass
@@ -61,7 +62,12 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_checkpoint(path: str, state: TrainState, *, epoch: int = 0, force: bool = True) -> None:
+def save_checkpoint(path: str, state: TrainState, *, epoch: int = 0, force: bool = True,
+                    run_ctl: Optional[Dict[str, float]] = None) -> None:
+    """``run_ctl`` carries flat float scalars of run-control state (earlystop
+    best/counter, scheduler internals) so a resumed run makes the same
+    save/stop/LR decisions as an uninterrupted one — the reference loses all
+    of this on restart (its checkpoints are bare state_dicts)."""
     payload = {
         "params": state.params,
         "buffers": state.buffers,
@@ -70,11 +76,23 @@ def save_checkpoint(path: str, state: TrainState, *, epoch: int = 0, force: bool
         "rng": state.rng,
         "epoch": jnp.asarray(epoch, jnp.int32),
     }
+    if run_ctl:
+        # float64 numpy scalars: run-control values (LRs, metric bests) must
+        # round-trip exactly, and jnp would silently downcast to float32
+        payload["run_ctl"] = {
+            k: np.asarray(v, np.float64) for k, v in run_ctl.items()
+        }
     _checkpointer().save(os.path.abspath(path), payload, force=force)
 
 
-def restore_checkpoint(path: str, template_state: TrainState, epoch: int = 0):
-    """-> (TrainState, epoch). ``template_state`` supplies the tree structure."""
+def restore_checkpoint(path: str, template_state: TrainState, epoch: int = 0,
+                       run_ctl_template: Optional[Dict[str, float]] = None):
+    """-> (TrainState, epoch, run_ctl dict or None). ``template_state``
+    supplies the tree structure. ``run_ctl`` is restored only when BOTH the
+    caller provides a template and the checkpoint carries it (round-1
+    checkpoints predate run_ctl and restore as None)."""
+    import orbax.checkpoint as ocp
+
     template = {
         "params": template_state.params,
         "buffers": template_state.buffers,
@@ -83,11 +101,20 @@ def restore_checkpoint(path: str, template_state: TrainState, epoch: int = 0):
         "rng": template_state.rng,
         "epoch": jnp.asarray(epoch, jnp.int32),
     }
-    import orbax.checkpoint as ocp
+    abspath = os.path.abspath(path)
+    want_ctl = False
+    if run_ctl_template:
+        try:
+            meta_tree = _checkpointer().metadata(abspath).item_metadata.tree
+            want_ctl = "run_ctl" in meta_tree
+        except Exception:
+            want_ctl = False
+        if want_ctl:
+            template["run_ctl"] = {
+                k: np.asarray(v, np.float64) for k, v in run_ctl_template.items()
+            }
 
-    restored = _checkpointer().restore(
-        os.path.abspath(path), args=ocp.args.PyTreeRestore(template)
-    )
+    restored = _checkpointer().restore(abspath, args=ocp.args.PyTreeRestore(template))
     state = TrainState(
         params=restored["params"],
         buffers=restored["buffers"],
@@ -95,7 +122,10 @@ def restore_checkpoint(path: str, template_state: TrainState, epoch: int = 0):
         step=restored["step"],
         rng=restored["rng"],
     )
-    return state, int(restored["epoch"])
+    run_ctl = None
+    if want_ctl:
+        run_ctl = {k: float(v) for k, v in restored["run_ctl"].items()}
+    return state, int(restored["epoch"]), run_ctl
 
 
 def save_params_only(path: str, variables: Dict[str, Any]) -> None:

@@ -24,23 +24,26 @@ from vct_tpu.train.state import TrainState
 def _task_loss(model, variables, task, batch, *, deterministic, rngs=None):
     feats: List[jnp.ndarray] = batch["feats"]
     masks = batch.get("masks")
+    row_valid = batch.get("row_valid")
     if task == "caption":
         loss = model.apply(
             variables, feats, masks, batch["token_ids"], batch["token_mask"],
-            deterministic=deterministic, rngs=rngs, method=MMT4Caption.caption_loss,
+            deterministic=deterministic, rngs=rngs, row_valid=row_valid,
+            method=MMT4Caption.caption_loss,
         )
         return loss, {"loss": loss, "cap_loss": loss}
     if task == "match":
         loss = model.apply(
             variables, feats, masks, batch["text_feat"],
-            deterministic=deterministic, rngs=rngs, method=MMT4Caption.match_loss,
+            deterministic=deterministic, rngs=rngs, row_valid=row_valid,
+            method=MMT4Caption.match_loss,
         )
         return loss, {"loss": loss, "match_loss": loss}
     if task == "cross":
         loss, cap, match = model.apply(
             variables, feats, masks, batch["token_ids"], batch["token_mask"],
             batch["text_feat"], deterministic=deterministic, rngs=rngs,
-            method=MMT4Caption.cross_loss,
+            row_valid=row_valid, method=MMT4Caption.cross_loss,
         )
         return loss, {"loss": loss, "cap_loss": cap, "match_loss": match}
     raise ValueError(f"unknown task {task}")
@@ -74,22 +77,81 @@ def make_train_step(
 
 
 def make_eval_step(model: MMT4Caption, task: str):
-    """Deterministic forward-only loss (reference ``val_epoch``,
-    ``train.py:152-168``)."""
+    """Deterministic forward-only validation step (reference ``val_epoch``,
+    ``train.py:152-168``). Returns exact SUM/COUNT parts — not per-batch
+    means — so the caller's aggregation is independent of how the split was
+    batched (collate filler rows contribute nothing; a split of size B+1
+    scores the same batched [B, 1] or [B+1])."""
 
     @jax.jit
     def step(variables, batch):
-        _, metrics = _task_loss(model, variables, task, batch, deterministic=True)
-        return metrics
+        feats = batch["feats"]
+        masks = batch.get("masks")
+        row_valid = batch.get("row_valid")
+        n_valid = (
+            jnp.sum(row_valid.astype(jnp.float32))
+            if row_valid is not None
+            else jnp.asarray(float(feats[0].shape[0]))
+        )
+        if task == "caption":
+            ce_sum, ce_n, rce_sum, rce_n = model.apply(
+                variables, feats, masks, batch["token_ids"], batch["token_mask"],
+                row_valid=row_valid, method=MMT4Caption.caption_loss_parts,
+            )
+            return {"ce_sum": ce_sum, "ce_n": ce_n,
+                    "rce_sum": rce_sum, "rce_n": rce_n}
+        if task == "match":
+            loss = model.apply(
+                variables, feats, masks, batch["text_feat"],
+                row_valid=row_valid, method=MMT4Caption.match_loss,
+            )
+            return {"match_sum": loss * n_valid, "match_n": n_valid}
+        if task == "cross":
+            ce_sum, ce_n, rce_sum, rce_n, match = model.apply(
+                variables, feats, masks, batch["token_ids"], batch["token_mask"],
+                batch["text_feat"], row_valid=row_valid,
+                method=MMT4Caption.cross_loss_parts,
+            )
+            return {"ce_sum": ce_sum, "ce_n": ce_n,
+                    "rce_sum": rce_sum, "rce_n": rce_n,
+                    "match_sum": match * n_valid, "match_n": n_valid}
+        raise ValueError(f"unknown task {task}")
 
     return step
 
 
+def combine_eval_parts(task: str, agg: Dict[str, float], *, sce_alpha: float,
+                       loss_beta: float) -> Dict[str, float]:
+    """Host-side reduction of summed eval-step parts -> metric dict with the
+    reference's keys (loss / cap_loss / match_loss)."""
+    out: Dict[str, float] = {}
+    if "ce_sum" in agg:
+        ce = agg["ce_sum"] / max(agg["ce_n"], 1.0)
+        rce = agg["rce_sum"] / max(agg["rce_n"], 1.0)
+        out["cap_loss"] = sce_alpha * ce + (1.0 - sce_alpha) * rce
+    if "match_sum" in agg:
+        out["match_loss"] = agg["match_sum"] / max(agg["match_n"], 1.0)
+    if task == "caption":
+        out["loss"] = out["cap_loss"]
+    elif task == "match":
+        out["loss"] = out["match_loss"]
+    else:
+        out["loss"] = (
+            loss_beta * out["cap_loss"] + (1.0 - loss_beta) * out["match_loss"]
+        )
+    return out
+
+
 def batch_to_arrays(batch, text_encoder=None) -> Dict[str, Any]:
     """collate.Batch -> the dict the jitted steps consume."""
+    import numpy as np
+
+    b = batch.feats[0].shape[0]
     out: Dict[str, Any] = {
         "feats": [jnp.asarray(f) for f in batch.feats],
         "masks": [jnp.asarray(m) for m in batch.masks],
+        # leading-rows-real mask (static shape: no recompile across batches)
+        "row_valid": jnp.asarray(np.arange(b) < (batch.n_valid or b)),
     }
     if batch.token_ids is not None:
         out["token_ids"] = jnp.asarray(batch.token_ids)
