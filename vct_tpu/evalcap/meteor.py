@@ -1,82 +1,155 @@
-"""METEOR-lite: a pure-Python METEOR with exact + Porter-stem match stages.
+"""METEOR 1.5 (English), pure Python.
 
-The reference scores METEOR through the ``meteor-1.5.jar`` **Java subprocess**
-(``pycocoevalcap`` Meteor wrapper; README demands a JRE, ``README.md:33``).
-With zero JVM dependency this module computes the METEOR formulation
-(unigram alignment -> F-mean -> chunk fragmentation penalty) with the classic
-parameters alpha=0.9, beta=3.0, gamma=0.5:
+The reference scores METEOR through the ``meteor-1.5.jar`` Java subprocess
+(``/root/reference/eval.py:11-15,82-88``; README demands a JRE). This module
+implements the METEOR 1.5 scoring model (Denkowski & Lavie 2014) without a
+JVM:
 
-    P = m/|hyp|, R = m/|ref|
-    F = P*R / (alpha*P + (1-alpha)*R)
-    penalty = gamma * (chunks/m)^beta
-    score   = F * (1 - penalty),  max over references, mean over images
+* match stages exact / stem (Porter) / synonym, module weights
+  w = (1.0, 0.6, 0.8) — the en defaults (the paraphrase stage needs the
+  distributed paraphrase table; with no such resource it contributes no
+  matches, exactly as running the jar without ``paraphrase-en.gz``),
+* the 1.5 en parameter set alpha=0.85, beta=0.2, gamma=0.6, delta=0.75,
+* content/function-word weighting: function words (bundled list,
+  ``meteor_data.FUNCTION_WORDS``) count with weight (1 - delta), content
+  words with delta, in both weighted precision and recall,
+* fragmentation penalty gamma * (chunks / matches)^beta over the chunk
+  count of the final alignment,
+* score = (1 - penalty) * F_mean,  F_mean = P*R / (alpha*P + (1-alpha)*R),
+* max over references, mean over images (the jar's sentence-level use in
+  coco-caption).
 
-Match stages: exact surface match, then Porter-stem match. The jar's extra
-WordNet-synonym and paraphrase-table stages (and its language-tuned 1.5
-parameters) need external resources this environment doesn't ship, so absolute
-values differ slightly from the Java tool; the metric remains monotonically
-comparable across checkpoints and is labelled METEOR throughout.
+Alignment: stage-priority one-to-one matching (exact before stem before
+synonym — higher-weight matches are never displaced by lower-weight ones),
+with chunk-aware tie-breaking: among candidate reference positions a word
+prefers the one continuing the previous match run, then the closest position.
+This approximates the jar's beam-search resolver (which picks, among
+maximum-cardinality alignments, one minimizing chunks); on caption-length
+sentences the tie-break recovers the minimal-chunk alignment in all but
+adversarial cases. Synonymy uses a compact bundled table rather than WordNet
+(``meteor_data.SYNONYM_SETS``) — the one remaining resource gap vs the jar,
+swappable for the genuine data files.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
+from vct_tpu.evalcap.meteor_data import FUNCTION_WORDS, SYNONYMS
 from vct_tpu.evalcap.stemmer import stem
 
-ALPHA, BETA, GAMMA = 0.9, 3.0, 0.5
+ALPHA, BETA, GAMMA, DELTA = 0.85, 0.2, 0.6, 0.75
+STAGE_WEIGHTS = (1.0, 0.6, 0.8)  # exact, stem, synonym
 
 
-def _align(hyp: List[str], ref: List[str]) -> Tuple[int, int]:
-    """Greedy two-stage alignment -> (matches, chunks).
+def _synsets(word: str) -> Optional[set]:
+    return SYNONYMS.get(word)
 
-    Matches are found left-to-right: exact first, then stem equality. Chunks =
-    number of maximal runs of hyp matches whose ref positions are contiguous
-    and increasing.
+
+def _match_stage(stage: int, hw: str, hs: str, hsyn, rw: str, rs: str, rsyn) -> bool:
+    if stage == 0:
+        return hw == rw
+    if stage == 1:
+        return hs == rs
+    return bool(hsyn and rsyn and (hsyn & rsyn))
+
+
+def align(hyp: Sequence[str], ref: Sequence[str]) -> List[Tuple[int, int, int]]:
+    """One-to-one alignment -> [(hyp_idx, ref_idx, stage)].
+
+    Stages run in priority order; within a stage, hyp words are scanned
+    left-to-right and each picks, among free matching ref positions, the one
+    that extends the previous run (prev_ref + 1) if available, else the
+    closest to its own position — the chunk-minimizing tie-break.
     """
-    ref_used = [False] * len(ref)
-    align: List[Tuple[int, int]] = []  # (hyp_idx, ref_idx)
-
     hyp_stem = [stem(w) for w in hyp]
     ref_stem = [stem(w) for w in ref]
+    hyp_syn = [_synsets(w) for w in hyp]
+    ref_syn = [_synsets(w) for w in ref]
 
-    matched_hyp = set()
-    for stage in ("exact", "stem"):
+    ref_used = [False] * len(ref)
+    hyp_match: List[Optional[Tuple[int, int]]] = [None] * len(hyp)  # (ref_idx, stage)
+
+    for stage in range(len(STAGE_WEIGHTS)):
+        prev_ref = -2
         for i, hw in enumerate(hyp):
-            if i in matched_hyp:
+            if hyp_match[i] is not None:
+                prev_ref = hyp_match[i][0]
                 continue
-            for j, rw in enumerate(ref):
-                if ref_used[j]:
-                    continue
-                ok = hw == rw if stage == "exact" else hyp_stem[i] == ref_stem[j]
-                if ok:
-                    ref_used[j] = True
-                    matched_hyp.add(i)
-                    align.append((i, j))
-                    break
+            candidates = [
+                j for j in range(len(ref))
+                if not ref_used[j]
+                and _match_stage(stage, hw, hyp_stem[i], hyp_syn[i],
+                                 ref[j], ref_stem[j], ref_syn[j])
+            ]
+            if not candidates:
+                continue
+            if prev_ref + 1 in candidates:
+                j = prev_ref + 1
+            else:
+                j = min(candidates, key=lambda jj: (abs(jj - i), jj))
+            ref_used[j] = True
+            hyp_match[i] = (j, stage)
+            prev_ref = j
+    return [(i, m[0], m[1]) for i, m in enumerate(hyp_match) if m is not None]
 
-    if not align:
-        return 0, 0
-    align.sort()
+
+def _chunks(pairs: List[Tuple[int, int, int]]) -> int:
+    if not pairs:
+        return 0
+    pairs = sorted((i, j) for i, j, _ in pairs)
     chunks = 1
-    for (h0, r0), (h1, r1) in zip(align, align[1:]):
+    for (h0, r0), (h1, r1) in zip(pairs, pairs[1:]):
         if not (h1 == h0 + 1 and r1 == r0 + 1):
             chunks += 1
-    return len(align), chunks
+    return chunks
 
 
-def _score_pair(hyp: List[str], ref: List[str]) -> float:
-    m, chunks = _align(hyp, ref)
-    if m == 0:
+def _weighted_counts(words: Sequence[str], matched: Dict[int, int]) -> Tuple[float, float]:
+    """-> (weighted match mass, weighted length) with delta content/function
+    weighting and per-stage module weights."""
+    mass = 0.0
+    length = 0.0
+    for idx, w in enumerate(words):
+        wt = (1.0 - DELTA) if w in FUNCTION_WORDS else DELTA
+        length += wt
+        stage = matched.get(idx)
+        if stage is not None:
+            mass += wt * STAGE_WEIGHTS[stage]
+    return mass, length
+
+
+def score_pair(hyp: Sequence[str], ref: Sequence[str]) -> float:
+    """Sentence-level METEOR 1.5 of one hypothesis against one reference."""
+    if not hyp or not ref:
         return 0.0
-    p = m / len(hyp)
-    r = m / len(ref)
-    f = p * r / (ALPHA * p + (1 - ALPHA) * r)
-    penalty = GAMMA * (chunks / m) ** BETA
-    return f * (1 - penalty)
+    pairs = align(hyp, ref)
+    if not pairs:
+        return 0.0
+    hyp_matched = {i: s for i, _, s in pairs}
+    ref_matched = {j: s for _, j, s in pairs}
+
+    p_mass, p_len = _weighted_counts(hyp, hyp_matched)
+    r_mass, r_len = _weighted_counts(ref, ref_matched)
+    if p_mass == 0.0 or r_mass == 0.0:
+        return 0.0
+    precision = p_mass / p_len
+    recall = r_mass / r_len
+    fmean = precision * recall / (ALPHA * precision + (1.0 - ALPHA) * recall)
+
+    frag = _chunks(pairs) / len(pairs)
+    penalty = GAMMA * frag ** BETA
+    return (1.0 - penalty) * fmean
 
 
 class Meteor:
+    note = (
+        "METEOR 1.5 formulation (pure Python): exact/stem/synonym stages with "
+        "a bundled synonym table and function-word list standing in for the "
+        "jar's WordNet + resource files; absolute values can differ from the "
+        "Java tool where synonymy coverage differs."
+    )
+
     def method(self) -> str:
         return "METEOR"
 
@@ -88,6 +161,6 @@ class Meteor:
             hyp = res[img_id][0].split()
             refs = gts[img_id]
             scores.append(
-                max(_score_pair(hyp, r.split()) for r in refs) if refs else 0.0
+                max(score_pair(hyp, r.split()) for r in refs) if refs else 0.0
             )
         return sum(scores) / max(len(scores), 1), scores

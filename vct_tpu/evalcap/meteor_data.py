@@ -1,0 +1,170 @@
+"""Bundled language resources for METEOR 1.5 (English).
+
+The Java tool ships a function-word list (words with relative frequency
+> 1e-3 in a large English corpus) and uses WordNet synsets for the synonym
+stage. Neither external resource exists in this environment, so:
+
+* ``FUNCTION_WORDS`` is a self-contained reconstruction of the standard
+  English function-word inventory (articles, pronouns, prepositions,
+  conjunctions, auxiliaries, high-frequency adverbs/quantifiers and
+  punctuation) in the spirit of the meteor-1.5 ``function.words`` file.
+* ``SYNONYM_SETS`` is a compact synonym table oriented at video-caption
+  vocabulary (the domain this framework scores), standing in for WordNet
+  synset membership. Words in the same set match at the synonym stage.
+
+Both are data, not behavior: swap in the genuine meteor-1.5 files to get the
+jar's exact resources.
+"""
+
+FUNCTION_WORDS = frozenset("""
+a an the this that these those some any each every either neither no
+i you he she it we they me him her us them my your his its our their
+mine yours hers ours theirs myself yourself himself herself itself
+ourselves themselves who whom whose which what
+be am is are was were been being
+do does did doing done
+have has had having
+will would shall should may might must can could ought
+not n't never
+and or but nor so yet for because although though while if unless until
+since when whenever where wherever whether as than
+of in on at by with from to into onto upon about above below under over
+between among through during before after against without within along
+across behind beyond near off out up down around past toward towards
+there here then now just only also too very quite rather somewhat
+all both few many much more most other another such own same
+one two first second
+'t 's 'd 'll 'm 're 've
+. , ; : ! ? ' " ` `` '' ( ) [ ] { } - -- ...
+""".split())
+
+
+_SYNONYM_GROUPS = [
+    # people
+    ("man", "guy", "gentleman", "male"),
+    ("woman", "lady", "female"),
+    ("kid", "child", "youngster"),
+    ("children", "kids"),
+    ("boy", "lad"),
+    ("person", "individual", "human"),
+    ("people", "persons", "folks"),
+    ("baby", "infant", "toddler"),
+    # actions
+    ("talk", "speak", "chat"),
+    ("talking", "speaking", "chatting"),
+    ("say", "tell", "state"),
+    ("walk", "stroll"),
+    ("walking", "strolling"),
+    ("run", "jog", "sprint"),
+    ("running", "jogging", "sprinting"),
+    ("jump", "leap", "hop"),
+    ("jumping", "leaping", "hopping"),
+    ("look", "watch", "view"),
+    ("looking", "watching", "viewing"),
+    ("see", "observe"),
+    ("show", "display", "demonstrate"),
+    ("showing", "displaying", "demonstrating"),
+    ("make", "create", "prepare"),
+    ("making", "creating", "preparing"),
+    ("cook", "prepare"),
+    ("cooking", "preparing"),
+    ("cut", "slice", "chop"),
+    ("cutting", "slicing", "chopping"),
+    ("eat", "consume"),
+    ("eating", "consuming"),
+    ("ride", "drive"),
+    ("riding", "driving"),
+    ("play", "perform"),
+    ("playing", "performing"),
+    ("sing", "vocalize"),
+    ("singing", "vocalizing"),
+    ("dance", "groove"),
+    ("dancing", "grooving"),
+    ("hold", "grip", "grasp"),
+    ("holding", "gripping", "grasping"),
+    ("throw", "toss", "hurl"),
+    ("throwing", "tossing", "hurling"),
+    ("catch", "grab"),
+    ("catching", "grabbing"),
+    ("climb", "scale"),
+    ("climbing", "scaling"),
+    ("fall", "drop", "tumble"),
+    ("falling", "dropping", "tumbling"),
+    ("begin", "start", "commence"),
+    ("beginning", "starting"),
+    ("end", "finish", "conclude"),
+    ("fight", "battle", "brawl"),
+    ("fighting", "battling", "brawling"),
+    ("wash", "clean", "rinse"),
+    ("washing", "cleaning", "rinsing"),
+    ("fix", "repair", "mend"),
+    ("fixing", "repairing", "mending"),
+    ("put", "place", "set"),
+    ("swim", "bathe"),
+    ("swimming", "bathing"),
+    # objects
+    ("car", "automobile", "vehicle"),
+    ("bike", "bicycle", "cycle"),
+    ("motorcycle", "motorbike"),
+    ("picture", "photo", "photograph", "image"),
+    ("movie", "film", "video", "clip"),
+    ("tv", "television"),
+    ("phone", "telephone", "cellphone"),
+    ("computer", "pc", "laptop"),
+    ("sofa", "couch"),
+    ("street", "road"),
+    ("house", "home"),
+    ("shop", "store"),
+    ("food", "meal", "dish"),
+    ("guitar", "axe"),
+    ("ball", "sphere"),
+    ("gun", "firearm", "weapon"),
+    ("boat", "ship", "vessel"),
+    ("plane", "airplane", "aircraft"),
+    ("ocean", "sea"),
+    ("rock", "stone"),
+    ("forest", "woods"),
+    ("mountain", "hill"),
+    ("pan", "skillet"),
+    ("pot", "saucepan"),
+    ("knife", "blade"),
+    ("bowl", "basin"),
+    ("cup", "mug", "glass"),
+    ("bag", "sack", "pouch"),
+    ("box", "container", "crate"),
+    ("stage", "platform"),
+    ("crowd", "audience"),
+    ("group", "bunch", "gathering"),
+    ("field", "meadow"),
+    ("kitchen", "cookery"),
+    # animals
+    ("dog", "puppy", "canine"),
+    ("cat", "kitten", "feline"),
+    ("horse", "pony"),
+    ("bird", "fowl"),
+    ("cow", "cattle"),
+    ("monkey", "ape", "primate"),
+    # qualities
+    ("big", "large", "huge"),
+    ("small", "little", "tiny"),
+    ("fast", "quick", "rapid", "speedy"),
+    ("quickly", "rapidly", "speedily"),
+    ("slow", "sluggish"),
+    ("slowly", "sluggishly"),
+    ("happy", "glad", "joyful"),
+    ("sad", "unhappy"),
+    ("pretty", "beautiful", "lovely", "attractive"),
+    ("smart", "clever", "intelligent"),
+    ("loud", "noisy"),
+    ("wet", "damp", "soaked"),
+    ("cold", "chilly", "freezing"),
+    ("hot", "warm"),
+    ("young", "youthful"),
+    ("old", "elderly", "aged"),
+]
+
+# word -> set id(s); a pair matches when the sets intersect
+SYNONYMS = {}
+for _gid, _group in enumerate(_SYNONYM_GROUPS):
+    for _w in _group:
+        SYNONYMS.setdefault(_w, set()).add(_gid)

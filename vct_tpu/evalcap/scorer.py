@@ -30,11 +30,20 @@ def make_coco_sample(
     return gts, samples, ids
 
 
+_meteor_note_shown = False
+
+
 class COCOScorer:
     def __init__(self, verbose: bool = True):
         self.verbose = verbose
         self.eval: Dict[str, float] = {}
         self.imgToEval: Dict[str, Dict] = {}
+        # one-time provenance note so METEOR numbers are not accidentally
+        # cross-compared with jar-scored papers (round-1 advisor finding)
+        global _meteor_note_shown
+        if verbose and not _meteor_note_shown:
+            _meteor_note_shown = True
+            print(f"[scorer] {Meteor.note}")
 
     def score(self, gts: Dict, res: Dict, ids: Sequence[str]) -> Dict[str, float]:
         gts = {i: gts[i] for i in ids}
