@@ -23,6 +23,19 @@ PUNCTUATIONS = {
 # contractions the PTB tokenizer splits off the preceding word
 _CONTRACTIONS = re.compile(r"(n't|'ll|'re|'ve|'s|'m|'d)$", re.IGNORECASE)
 
+# whole words the PTB tokenizer splits in two (CoreNLP PTBTokenizer's
+# special-case list for PTB3 conventions)
+_SPECIAL_SPLITS = {
+    "cannot": ("can", "not"),
+    "gonna": ("gon", "na"),
+    "gotta": ("got", "ta"),
+    "wanna": ("wan", "na"),
+    "lemme": ("lem", "me"),
+    "gimme": ("gim", "me"),
+    "'tis": ("'t", "is"),
+    "'twas": ("'t", "was"),
+}
+
 _TOKEN = re.compile(
     # hyphenated compounds stay ONE token (PTBTokenizer keeps 'well-known');
     # words may carry an attached contraction
@@ -33,10 +46,25 @@ _TOKEN = re.compile(
 )
 
 
+# Stanford PTBTokenizer escapes brackets and converts straight quotes; the
+# escape forms are all in PUNCTUATIONS and get dropped by the coco filter.
+# Emitting the raw characters instead would LEAK them into the n-grams.
+_PTB_ESCAPES = {
+    "(": "-LRB-", ")": "-RRB-", "[": "-LRB-", "]": "-RRB-",
+    "{": "-LCB-", "}": "-RCB-", '"': "''",
+}
+
+
 def tokenize_caption(text: str) -> List[str]:
     out: List[str] = []
     for tok in _TOKEN.findall(text.replace("\n", " ")):
+        if tok in _PTB_ESCAPES:
+            out.append(_PTB_ESCAPES[tok])
+            continue
         tok = tok.lower()
+        if tok in _SPECIAL_SPLITS:
+            out.extend(_SPECIAL_SPLITS[tok])
+            continue
         m = _CONTRACTIONS.search(tok)
         if m and m.start() > 0:
             out.append(tok[: m.start()])
