@@ -53,17 +53,16 @@ def test_fused_bf16(rng):
     )
 
 
-def test_pallas_never_eligible_in_training_mode():
-    """The kernel has no autodiff rule; deterministic=False (every train step,
-    even with dropout 0) must route to the XLA path."""
+def test_pallas_eligibility():
+    """Training (deterministic=False) IS served since the custom_vjp landed;
+    attention-map returns and single-token decode steps stay on XLA."""
     import jax.numpy as jnp
 
     from vct_tpu.ops.attention import _pallas_eligible
 
     q = jnp.zeros((2, 8, 2, 16))
-    assert not _pallas_eligible(q, deterministic=False, return_weights=False)
     assert not _pallas_eligible(q, deterministic=True, return_weights=True)
-    # single-token decode steps stay on XLA too
+    # single-token decode steps stay on XLA
     assert not _pallas_eligible(q[:, :1], deterministic=True, return_weights=False)
 
 
@@ -84,3 +83,145 @@ def test_grad_through_attention_with_pallas_flag():
 
     g = jax.grad(loss)(q)
     assert g.shape == q.shape and bool(jnp.isfinite(g).all())
+
+
+# ---------------------------------------------------------------------------
+# trainable path: custom_vjp + in-kernel dropout (round-2 VERDICT #3)
+# ---------------------------------------------------------------------------
+
+
+def _trainable(rate, q, k, v, bias, keep=None):
+    from vct_tpu.ops.pallas_attention import fused_attention_trainable
+
+    return fused_attention_trainable(rate, True, q, k, v, bias, keep)
+
+
+@pytest.mark.parametrize("tq,tk,h,d", [(13, 13, 4, 64), (31, 13, 2, 96)])
+def test_trainable_forward_matches_xla(rng, tq, tk, h, d):
+    b = 2
+    q = jnp.asarray(rng.standard_normal((b, tq, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, tk, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, tk, h, d)).astype(np.float32))
+    pad = np.zeros((b, tk), dtype=bool)
+    pad[0, -2:] = True
+    bias = padding_bias(jnp.asarray(pad))
+    ref, _ = dot_product_attention(q, k, v, bias)
+    out = _trainable(0.0, q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_trainable_grad_matches_xla(rng):
+    """Gradient parity vs jax.grad through the XLA reference path (no
+    dropout): dq/dk/dv from the Pallas backward kernel must match."""
+    b, tq, tk, h, d = 2, 10, 13, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, tq, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, tk, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, tk, h, d)).astype(np.float32))
+    pad = np.zeros((b, tk), dtype=bool)
+    pad[1, -4:] = True
+    bias = padding_bias(jnp.asarray(pad))
+    w = jnp.asarray(rng.standard_normal((b, tq, h, d)).astype(np.float32))
+
+    def loss_ref(q, k, v):
+        out, _ = dot_product_attention(q, k, v, bias)
+        return jnp.sum(out * w)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(_trainable(0.0, q, k, v, bias) * w)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5)
+
+
+def test_trainable_grad_causal_selfattn(rng):
+    """Self-attention (q=k=v from one tensor) with a causal bias — the
+    decoder-train shape; cotangents accumulate across all three uses."""
+    b, t, h, d = 2, 9, 2, 32
+    x = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    bias = causal_bias(t)
+
+    def loss_ref(x):
+        out, _ = dot_product_attention(x, x, x, bias)
+        return jnp.sum(out ** 2)
+
+    def loss_pallas(x):
+        return jnp.sum(_trainable(0.0, x, x, x, bias) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_pallas)(x)),
+        np.asarray(jax.grad(loss_ref)(x)),
+        atol=3e-5,
+    )
+
+
+def _xla_dropout_attention(q, k, v, bias, keep, rate):
+    """The XLA path's exact math with an EXPLICIT keep mask."""
+    d = q.shape[-1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) / jnp.sqrt(float(d))
+    if bias is not None:
+        logits = logits + bias
+    w = jax.nn.softmax(logits, axis=-1)
+    w = jnp.where(keep, w / (1.0 - rate), 0.0)
+    return jnp.einsum("bhqk,bkhd->bqhd", w.astype(q.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def test_trainable_dropout_forward_and_grad_match_xla(rng):
+    """With a SHARED keep mask, Pallas forward AND backward must match the
+    XLA dropout math exactly — the strongest possible dropout-parity test."""
+    b, tq, tk, h, d = 2, 10, 13, 2, 64
+    rate = 0.3
+    q = jnp.asarray(rng.standard_normal((b, tq, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, tk, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, tk, h, d)).astype(np.float32))
+    bias = causal_bias(tq)[..., :tk] if tq == tk else None
+    keep = jax.random.bernoulli(jax.random.PRNGKey(3), 1 - rate, (b, h, tq, tk))
+    w = jnp.asarray(rng.standard_normal((b, tq, h, d)).astype(np.float32))
+
+    out_ref = _xla_dropout_attention(q, k, v, bias, keep, rate)
+    out_pal = _trainable(rate, q, k, v, bias, keep)
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref), atol=3e-5)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_dropout_attention(q, k, v, bias, keep, rate) * w)
+
+    def loss_pal(q, k, v):
+        return jnp.sum(_trainable(rate, q, k, v, bias, keep) * w)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5)
+
+
+def test_trainable_dispatch_shares_rng_semantics(rng):
+    """dot_product_attention(use_pallas=True, deterministic=False) draws the
+    keep mask with the same bernoulli call as the XLA path, so under a fixed
+    rng the two paths agree exactly (eligibility permitting)."""
+    from vct_tpu.ops.pallas_attention import fused_attention_trainable
+
+    b, t, h, d = 2, 8, 2, 32
+    rate = 0.25
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    key = jax.random.PRNGKey(11)
+    ref, _ = dot_product_attention(
+        q, q, q, None, dropout_rate=rate, dropout_rng=key, deterministic=False,
+        use_pallas=False,
+    )
+    keep = jax.random.bernoulli(key, 1 - rate, (b, h, t, t))
+    out = fused_attention_trainable(rate, True, q, q, q, None, keep)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_trainable_bf16_grad_finite(rng):
+    b, t, h, d = 2, 13, 2, 64
+    x = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32)).astype(jnp.bfloat16)
+
+    def loss(x):
+        return jnp.sum(_trainable(0.0, x, x, x, None).astype(jnp.float32))
+
+    g = jax.grad(loss)(x)
+    assert g.dtype == jnp.bfloat16 and bool(jnp.isfinite(g.astype(jnp.float32)).all())

@@ -53,14 +53,12 @@ def combine_bias(*biases: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
 
 
 def _pallas_eligible(q, deterministic, return_weights) -> bool:
-    # Inference-only dispatch: pallas_call has no autodiff rule, so the kernel
-    # must never be reached inside jax.grad. `deterministic=True` is how every
-    # non-training apply in this codebase is marked (train steps always pass
-    # deterministic=False, even with dropout 0), so it doubles as the
-    # not-differentiated guard.
+    # Training is served too (round 2): the trainable wrapper carries a
+    # custom_vjp with a Pallas backward and in-kernel dropout, so
+    # deterministic is no longer a dispatch criterion.
+    del deterministic
     return (
-        deterministic
-        and not return_weights
+        not return_weights
         and q.shape[1] > 1  # single-token decode steps are matvecs; XLA wins
         and jax.default_backend() == "tpu"
     )
@@ -86,9 +84,26 @@ def dot_product_attention(
     global state, so two models with different settings coexist).
     """
     if use_pallas and _pallas_eligible(q, deterministic, return_weights):
-        from vct_tpu.ops.pallas_attention import fused_attention
+        from vct_tpu.ops.pallas_attention import (
+            fused_attention,
+            fused_attention_trainable,
+        )
 
-        return fused_attention(q, k, v, bias), None
+        if deterministic:
+            # inference fast path: no vjp machinery, no mask plumbing
+            return fused_attention(q, k, v, bias), None
+        rate = float(dropout_rate)
+        keep = None
+        if rate > 0.0:
+            if dropout_rng is None:
+                raise ValueError("dropout_rng required for non-deterministic attention")
+            # the SAME bernoulli draw as the XLA path below — the two paths
+            # produce bit-comparable dropout under a shared rng
+            keep = jax.random.bernoulli(
+                dropout_rng, 1.0 - rate,
+                (q.shape[0], q.shape[2], q.shape[1], k.shape[1]),
+            )
+        return fused_attention_trainable(rate, False, q, k, v, bias, keep), None
 
     dtype = q.dtype
     d_head = q.shape[-1]
