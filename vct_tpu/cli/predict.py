@@ -90,8 +90,8 @@ def predict(cfg, args, log=print) -> str:
         from vct_tpu.pipeline import make_video_caption_fn
 
         beam = getattr(args, "beam", None)
-        if beam:
-            raise SystemExit("-v uses the fused greedy path; --beam needs -f features")
+        if beam and args.vis_attn:
+            raise SystemExit("--vis_attn requires --greedy (per-step attention)")
         tower_dim = 512  # CLIP ViT-B/32 joint-space dim
         if len(cfg.model.modal) != 1 or cfg.model.modal_shape[0] != tower_dim:
             raise SystemExit(
@@ -104,10 +104,11 @@ def predict(cfg, args, log=print) -> str:
         fn = make_video_caption_fn(
             model, CLIPVisionTower(), max_len=cfg.test.max_length,
             start_id=tokenizer.start_id, end_id=tokenizer.end_id,
-            collect_attn=bool(args.vis_attn),
+            collect_attn=bool(args.vis_attn), beam_size=int(beam or 0),
         )
-        tokens, attn = fn(variables, clip_params, pixels)
+        tokens, aux = fn(variables, clip_params, pixels)
         caption = detokenize_list(tokenizer, tokens)[0]
+        attn = None if beam else aux
         predict.attn = np.asarray(attn) if (args.vis_attn and attn is not None) else None
         predict.tokens = np.asarray(tokens)[0]
         return caption

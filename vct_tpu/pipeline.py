@@ -38,9 +38,14 @@ def make_video_caption_fn(
     start_id: int = 101,
     end_id: int = 102,
     collect_attn: bool = False,
+    beam_size: int = 0,
 ) -> Callable:
     """-> jit fn(variables, clip_params, pixels [N, T, 224, 224, 3]) ->
-    (tokens [N, max_len], attn or None). One XLA program, pixels to tokens."""
+    (tokens [N, max_len], attn or None). One XLA program, pixels to tokens.
+    ``beam_size > 1`` fuses beam search instead of greedy (the second return
+    is then the per-video beam score; attention collection is greedy-only)."""
+    if beam_size > 1 and collect_attn:
+        raise ValueError("collect_attn is greedy-only; drop beam_size")
 
     @jax.jit
     def fn(variables, clip_params, pixels):
@@ -49,6 +54,14 @@ def make_video_caption_fn(
         feats = tower.apply({"params": clip_params}, flat)
         feats = feats.reshape(n, t, feats.shape[-1]).astype(jnp.float32)
         masks = [jnp.zeros((n, t), bool)]
+        if beam_size > 1:
+            from vct_tpu.decode import beam_generate
+
+            return beam_generate(
+                model, variables, [feats], masks,
+                beam_size=beam_size, max_len=max_len,
+                start_id=start_id, end_id=end_id,
+            )
         return greedy_generate(
             model, variables, [feats], masks,
             max_len=max_len, start_id=start_id, end_id=end_id,

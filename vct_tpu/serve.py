@@ -9,10 +9,15 @@ each chip dispatch serves up to ``max_batch`` requests.
 
 Endpoints (stdlib ``http.server``; JSON out):
   GET  /healthz            -> {"status": "ok", ...}
-  POST /v1/caption         body = one video's features as .npy bytes (T, E)
-                           -> {"caption": ...}
+  POST /v1/caption         body = one video's features: ``.npy`` bytes (T, E)
+                           for single-modality models, or ``.npz`` bytes with
+                           one (T, E_m) array per modality for multi-modality
+                           models (keys = the config's modal names, or
+                           ``modal_0``, ``modal_1``, ...) -> {"caption": ...}
   POST /v1/caption_video   body = raw video bytes (ffmpeg-decodable)
-                           -> {"caption": ...}   (needs --clip_weights)
+                           -> {"caption": ...}   (needs --clip_weights;
+                           single-CLIP-modality models only — the tower
+                           produces exactly that modality)
 
 Run: ``python -m vct_tpu.serve -c config.json -m ckpt --port 8000``
 """
@@ -34,8 +39,8 @@ import numpy as np
 class _Request:
     __slots__ = ("feats", "event", "caption", "error", "abandoned")
 
-    def __init__(self, feats: np.ndarray):
-        self.feats = feats  # (T, E) float32, already oriented
+    def __init__(self, feats: List[np.ndarray]):
+        self.feats = feats  # per-modality (T, E_m) float32, already oriented
         self.event = threading.Event()
         self.caption: Optional[str] = None
         self.error: Optional[str] = None
@@ -57,11 +62,6 @@ class CaptionService:
         self.log = log
         self.max_batch = max_batch
         self.batch_timeout = batch_timeout_ms / 1000.0
-        if len(cfg.model.modal_shape) != 1:
-            raise ValueError(
-                f"the server serves single-modality models; config has "
-                f"modal={cfg.model.modal}"
-            )
         self.model, self.tokenizer, variables = make_trainer_pieces(cfg)
         self.variables = load_checkpoint_into(variables, ckpt_path, log=log)
         self.decode_fn = make_greedy_fn(
@@ -88,10 +88,11 @@ class CaptionService:
 
         # compile + warm the decode program NOW so /healthz is truthful and
         # the first real requests don't burn their timeout on XLA compilation
-        e = cfg.model.modal_shape[0]
-        warm_f = jnp.zeros((max_batch, cfg.tpu.max_frames, e), jnp.float32)
-        warm_m = jnp.zeros((max_batch, cfg.tpu.max_frames), bool)
-        np.asarray(self.decode_fn(self.variables, [warm_f], [warm_m])[0])
+        warm_f = [jnp.zeros((max_batch, cfg.tpu.max_frames, e), jnp.float32)
+                  for e in cfg.model.modal_shape]
+        warm_m = [jnp.zeros((max_batch, cfg.tpu.max_frames), bool)
+                  for _ in cfg.model.modal_shape]
+        np.asarray(self.decode_fn(self.variables, warm_f, warm_m)[0])
 
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
@@ -101,22 +102,41 @@ class CaptionService:
 
     # -- public API ---------------------------------------------------------
 
-    def caption_features(self, feats: np.ndarray, timeout: float = 60.0) -> str:
-        """(T, E) or (E, T) features -> caption. Blocks until served."""
+    def _orient(self, feats: np.ndarray, e: int, what: str) -> np.ndarray:
         feats = np.asarray(feats, np.float32)
         if feats.ndim == 3 and feats.shape[0] == 1:  # leading batch dim
             feats = feats[0]
         if feats.ndim != 2:
-            raise ValueError(f"expected 2-D features, got {feats.shape}")
+            raise ValueError(f"{what}: expected 2-D features, got {feats.shape}")
         if feats.shape[0] == 0:
-            raise ValueError("features contain no frames")
-        e = self.cfg.model.modal_shape[0]
+            raise ValueError(f"{what}: features contain no frames")
         # orientation by the known model dim, NOT the offline T<E heuristic:
         # long videos legitimately have T > E at a serving boundary
         if feats.shape[1] != e and feats.shape[0] == e:
             feats = feats.T
         if feats.shape[1] != e:
-            raise ValueError(f"feature dim {feats.shape[1]} != model dim {e}")
+            raise ValueError(f"{what}: feature dim {feats.shape[1]} != model dim {e}")
+        return feats
+
+    def caption_features(self, feats, timeout: float = 60.0) -> str:
+        """One video's features -> caption. Blocks until served.
+
+        ``feats``: a (T, E) / (E, T) array for single-modality models, or a
+        sequence of per-modality arrays matching ``model.modal_shape``.
+        """
+        shapes = self.cfg.model.modal_shape
+        if isinstance(feats, np.ndarray) or (
+            not isinstance(feats, (list, tuple))
+        ):
+            feats = [feats]
+        if len(feats) != len(shapes):
+            raise ValueError(
+                f"model expects {len(shapes)} modalities, got {len(feats)}"
+            )
+        feats = [
+            self._orient(f, e, f"modality {i}")
+            for i, (f, e) in enumerate(zip(feats, shapes))
+        ]
         if self._stop.is_set():
             raise RuntimeError("server shutting down")
         req = _Request(feats)
@@ -135,6 +155,9 @@ class CaptionService:
                              "send features to /v1/caption instead")
         from vct_tpu.clip import preprocess_frames, sample_frames
 
+        if len(self.cfg.model.modal_shape) != 1:
+            raise ValueError("/v1/caption_video serves single-CLIP-modality "
+                             "models; send per-modality features to /v1/caption")
         with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
             f.write(video_bytes)
             f.flush()
@@ -182,16 +205,14 @@ class CaptionService:
             if not batch:
                 continue
             try:
-                fs, ms = zip(*(fit_time_axis(r.feats, max_t) for r in batch))
                 n = len(batch)
                 pad = self.max_batch - n
-                feats = np.stack(fs + (fs[0],) * pad)
-                masks = np.stack(ms + (ms[0],) * pad)
-                tokens, _ = self.decode_fn(
-                    self.variables,
-                    [self._jnp.asarray(feats)],
-                    [self._jnp.asarray(masks)],
-                )
+                feats_l, masks_l = [], []
+                for m in range(len(self.cfg.model.modal_shape)):
+                    fs, ms = zip(*(fit_time_axis(r.feats[m], max_t) for r in batch))
+                    feats_l.append(self._jnp.asarray(np.stack(fs + (fs[0],) * pad)))
+                    masks_l.append(self._jnp.asarray(np.stack(ms + (ms[0],) * pad)))
+                tokens, _ = self.decode_fn(self.variables, feats_l, masks_l)
                 captions = detokenize_batch(self.tokenizer, tokens)[:n]
                 for r, c in zip(batch, captions):
                     r.caption = c
@@ -231,7 +252,20 @@ def make_handler(service: CaptionService):
                 if self.path.startswith("/v1/caption_video"):
                     caption = service.caption_video(body)
                 elif self.path.startswith("/v1/caption"):
-                    feats = np.load(io.BytesIO(body), allow_pickle=False)
+                    loaded = np.load(io.BytesIO(body), allow_pickle=False)
+                    if hasattr(loaded, "files"):  # .npz: one array per modality
+                        names = service.cfg.model.modal
+                        feats = []
+                        for i, name in enumerate(names):
+                            key = (name if name in loaded.files
+                                   else f"modal_{i}")
+                            if key not in loaded.files:
+                                raise ValueError(
+                                    f"npz missing modality {name!r} "
+                                    f"(keys: {loaded.files})")
+                            feats.append(loaded[key])
+                    else:
+                        feats = loaded
                     caption = service.caption_features(feats)
                 else:
                     self._reply(404, {"error": f"no route {self.path}"})
