@@ -1,0 +1,109 @@
+"""Fused decode-step kernels vs the module-graph greedy path (interpret mode
+on CPU; the real-TPU path is exercised by bench.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vct_tpu.config import ModelConfig, TPUConfig
+from vct_tpu.decode import greedy_generate
+from vct_tpu.decode_fast import greedy_generate_fused
+from vct_tpu.models.mmt4caption import MMT4Caption
+
+B, T, D_FEAT, E, H, FF, VOCAB, MAX_LEN = 4, 6, 24, 128, 4, 256, 50, 10
+
+
+def _model(quirk=False, dec_layers=2):
+    cfg = ModelConfig.from_dict({
+        "modal": ["CLIP4Clip"], "modal_shape": [D_FEAT], "embed_dim": E,
+        "dropout": 0.0, "vocab_size": VOCAB, "activation": "gelu",
+        "video_encoder": {"layer": 1, "nhead": H, "feedforward": FF,
+                          "mme": {"temporal": "encoding", "aggregation": "avg"}},
+        "caption_decoder": {"layer": dec_layers, "nhead": H, "feedforward": FF,
+                            "sce_loss_alpha": 0.5},
+    })
+    return MMT4Caption(cfg, TPUConfig(quirk_no_memory_mask_in_decoder=quirk))
+
+
+def _init(model, rng):
+    feats = [jnp.asarray(rng.standard_normal((B, T, D_FEAT)).astype(np.float32))]
+    pad = np.zeros((B, T), bool)
+    pad[1, -2:] = True
+    masks = [jnp.asarray(pad)]
+    caps = jnp.zeros((B, MAX_LEN), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(3), feats, masks, caps, caps == 0,
+                           method=MMT4Caption.caption_loss)
+    return feats, masks, variables
+
+
+@pytest.mark.parametrize("quirk", [False, True])
+def test_fused_greedy_token_exact(rng, quirk):
+    """The 5-kernel fused decode must reproduce the module-graph greedy's
+    token ids exactly (fp32; padded memory exercises the mem-bias path)."""
+    model = _model(quirk=quirk)
+    feats, masks, variables = _init(model, rng)
+    ref_tokens, _ = greedy_generate(
+        model, variables, feats, masks, max_len=MAX_LEN, start_id=2, end_id=-1,
+    )
+    fused_tokens, _ = greedy_generate_fused(
+        model, variables, feats, masks, max_len=MAX_LEN, start_id=2, end_id=-1,
+        block_b=2, block_v=256, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(fused_tokens), np.asarray(ref_tokens))
+
+
+def test_fused_greedy_early_stop(rng):
+    """end_id semantics: rows keep receiving argmax tokens until all finish,
+    exactly like the module path."""
+    model = _model()
+    feats, masks, variables = _init(model, rng)
+    ref_tokens, _ = greedy_generate(
+        model, variables, feats, masks, max_len=MAX_LEN, start_id=2, end_id=7,
+    )
+    fused_tokens, _ = greedy_generate_fused(
+        model, variables, feats, masks, max_len=MAX_LEN, start_id=2, end_id=7,
+        block_b=2, block_v=256, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(fused_tokens), np.asarray(ref_tokens))
+
+
+def test_fused_greedy_three_layers(rng):
+    model = _model(dec_layers=3)
+    feats, masks, variables = _init(model, rng)
+    ref_tokens, _ = greedy_generate(
+        model, variables, feats, masks, max_len=8, start_id=2, end_id=-1,
+    )
+    fused_tokens, _ = greedy_generate_fused(
+        model, variables, feats, masks, max_len=8, start_id=2, end_id=-1,
+        block_b=4, block_v=256, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(fused_tokens), np.asarray(ref_tokens))
+
+
+def test_generator_argmax_kernel_alone(rng):
+    """LayerNorm + vocab projection + argmax == the XLA composition, with
+    vocab padding never winning."""
+    from vct_tpu.decode_fast import _round_up
+    from vct_tpu.ops.pallas_decode import fused_norm_generator_argmax
+
+    b, e, v, bv = 8, 128, 300, 128
+    x = jnp.asarray(rng.standard_normal((b, e)).astype(np.float32))
+    ns = jnp.asarray(rng.standard_normal((e,)).astype(np.float32))
+    nb = jnp.asarray(rng.standard_normal((e,)).astype(np.float32))
+    wg = jnp.asarray(rng.standard_normal((e, v)).astype(np.float32))
+    bg = jnp.asarray(rng.standard_normal((v,)).astype(np.float32))
+
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * ns + nb
+    ref = jnp.argmax(y @ wg + bg, axis=-1)
+
+    v_pad = _round_up(v, bv)
+    wg_p = jnp.pad(wg, ((0, 0), (0, v_pad - v)))
+    bg_p = jnp.pad(bg, (0, v_pad - v), constant_values=-1e30)
+    out = fused_norm_generator_argmax(x, ns, nb, wg_p, bg_p,
+                                      block_b=4, block_v=bv, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

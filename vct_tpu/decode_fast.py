@@ -1,0 +1,198 @@
+"""Fused-kernel greedy decoding — the production TPU decode path.
+
+Same semantics as ``vct_tpu.decode.greedy_generate`` (token-exact; asserted by
+``tests/test_pallas_decode.py``), but the while-loop body runs on the
+``vct_tpu.ops.pallas_decode`` kernels: one fused kernel per decoder layer
+(QKV + in-place cache write + self/cross attention + norms + FFN) plus one
+fused LayerNorm+generator+argmax kernel — ~5 device ops per token instead of
+the ~40 XLA fusions of the module-graph path, and the [B, vocab] logits never
+round-trip through HBM.
+
+The flax module tree is unwound ONCE at trace time into flat weight bundles
+(`extract_fast_weights`) — pure pytree indexing, no copies; the kernels
+consume plain arrays. Works for any MMT4Caption decoder config whose
+embed_dim is lane-aligned (multiples of 128; the flagship 768 qualifies).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from vct_tpu.models.mmt4caption import MMT4Caption
+from vct_tpu.ops.pallas_decode import fused_layer_step, fused_norm_generator_argmax
+
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def extract_fast_weights(model: MMT4Caption, variables, *, block_v: int = 1024):
+    """Unwind the cap_decoder module tree into kernel weight bundles."""
+    p = variables["params"]["cap_decoder"]
+    dec = p["decoder"]
+    e = model.config.embed_dim
+    cd = model.config.caption_decoder
+    dt = model.dtype
+
+    layers = []
+    for i in range(cd.layer):
+        lp = dec[f"layers_{i}"]
+        cross_w = lp["multihead_attn"]["in_proj_kernel"]
+        cross_b = lp["multihead_attn"]["in_proj_bias"]
+        layers.append({
+            "wqkv": lp["self_attn"]["in_proj_kernel"].astype(dt),
+            "bqkv": lp["self_attn"]["in_proj_bias"].astype(dt),
+            "wo": lp["self_attn"]["out_proj"]["kernel"].astype(dt),
+            "bo": lp["self_attn"]["out_proj"]["bias"].astype(dt),
+            "wcq": cross_w[:, :e].astype(dt),
+            "bcq": cross_b[:e].astype(dt),
+            "wco": lp["multihead_attn"]["out_proj"]["kernel"].astype(dt),
+            "bco": lp["multihead_attn"]["out_proj"]["bias"].astype(dt),
+            "n1s": lp["norm1"]["scale"].astype(jnp.float32),
+            "n1b": lp["norm1"]["bias"].astype(jnp.float32),
+            "n2s": lp["norm2"]["scale"].astype(jnp.float32),
+            "n2b": lp["norm2"]["bias"].astype(jnp.float32),
+            "w1": lp["linear1"]["kernel"].astype(dt),
+            "b1": lp["linear1"]["bias"].astype(dt),
+            "w2": lp["linear2"]["kernel"].astype(dt),
+            "b2": lp["linear2"]["bias"].astype(dt),
+            "n3s": lp["norm3"]["scale"].astype(jnp.float32),
+            "n3b": lp["norm3"]["bias"].astype(jnp.float32),
+        })
+
+    wg = p["generator"]["kernel"].astype(dt)
+    bg = p["generator"]["bias"].astype(jnp.float32)
+    v = wg.shape[1]
+    v_pad = _round_up(v, block_v)
+    if v_pad != v:
+        # padded vocab columns must never win the argmax
+        wg = jnp.pad(wg, ((0, 0), (0, v_pad - v)))
+        bg = jnp.pad(bg, (0, v_pad - v), constant_values=NEG_INF)
+
+    return {
+        "layers": layers,
+        "norm_s": dec["norm"]["scale"].astype(jnp.float32),
+        "norm_b": dec["norm"]["bias"].astype(jnp.float32),
+        "wg": wg,
+        "bg": bg,
+        "emb": p["tgt_to_emb"].astype(dt),
+        "pe": variables["buffers"]["cap_decoder"]["positional_encoding"][
+            "pos_embedding"].astype(dt),
+        "heads": cd.nhead,
+    }
+
+
+def greedy_generate_fused(
+    model: MMT4Caption,
+    variables,
+    video_feats: Sequence[jnp.ndarray],
+    video_masks: Optional[Sequence[jnp.ndarray]],
+    *,
+    max_len: int = 30,
+    start_id: int = 101,
+    end_id: int = 102,
+    pad_id: int = 0,
+    block_b: int = 32,
+    block_v: int = 1024,
+    interpret: bool = False,
+):
+    """-> (tokens [B, max_len] int32, None) — fused-kernel greedy decode."""
+    fw = extract_fast_weights(model, variables, block_v=block_v)
+    heads = fw["heads"]
+    e = model.config.embed_dim
+    dt = model.dtype
+
+    memory, mem_mask, _ = model.apply(
+        variables, list(video_feats), list(video_masks) if video_masks else None,
+        method=MMT4Caption.encode,
+    )
+    b, tm = memory.shape[0], memory.shape[1]
+    # cross K/V from the module path (exactly what init_cache computes),
+    # per layer in the kernels' [Tm_pad, B, E] layout (leading time axis:
+    # dynamic row indexing is only unrestricted on untiled dims)
+    caches = model.apply(variables, b, max_len, memory, method=MMT4Caption.init_cache)
+    tm_pad = _round_up(tm, 8)
+    cross = []
+    for c in caches:
+        ck = c["ck"].reshape(b, tm, e).astype(dt).transpose(1, 0, 2)
+        cv = c["cv"].reshape(b, tm, e).astype(dt).transpose(1, 0, 2)
+        if tm_pad != tm:
+            ck = jnp.pad(ck, ((0, tm_pad - tm), (0, 0), (0, 0)))
+            cv = jnp.pad(cv, ((0, tm_pad - tm), (0, 0), (0, 0)))
+        cross.append((ck, cv))
+
+    # memory bias [B, Tm_pad] fp32: NEG_INF on real padding (unless the
+    # no-memory-mask quirk applies) AND on the Tm->Tm_pad filler columns
+    quirk = model.tpu.quirk_no_memory_mask_in_decoder
+    if mem_mask is not None and not quirk:
+        mem_bias = jnp.where(mem_mask, NEG_INF, 0.0).astype(jnp.float32)
+    else:
+        mem_bias = jnp.zeros((b, tm), jnp.float32)
+    if tm_pad != tm:
+        mem_bias = jnp.pad(mem_bias, ((0, 0), (0, tm_pad - tm)),
+                           constant_values=NEG_INF)
+
+    l_pad = _round_up(max_len, 8)
+    kv = tuple(
+        (jnp.zeros((l_pad, b, e), dt), jnp.zeros((l_pad, b, e), dt))
+        for _ in fw["layers"]
+    )
+
+    tokens = jnp.full((b, max_len), pad_id, jnp.int32).at[:, 0].set(start_id)
+    done = jnp.zeros((b,), bool)
+
+    emb, pe = fw["emb"], fw["pe"]
+
+    def cond(state):
+        i, _, done, _ = state
+        return jnp.logical_and(i < max_len - 1, ~jnp.all(done))
+
+    def body(state):
+        i, tokens, done, kv = state
+        cur = jax.lax.dynamic_slice_in_dim(tokens, i, 1, axis=1)[:, 0]
+        x = jnp.take(emb, cur, axis=0)
+        x = jnp.where((cur == pad_id)[:, None], 0.0, x)
+        x = x + jax.lax.dynamic_slice_in_dim(pe, i, 1, axis=0)
+        x = x.astype(dt)
+        new_kv = []
+        for (k, v), (ck, cv), w in zip(kv, cross, fw["layers"]):
+            x, k, v = fused_layer_step(
+                x, k, v, ck, cv, mem_bias, w, i,
+                heads=heads, block_b=block_b, interpret=interpret,
+            )
+            new_kv.append((k, v))
+        nxt = fused_norm_generator_argmax(
+            x, fw["norm_s"], fw["norm_b"], fw["wg"], fw["bg"],
+            block_v=block_v, interpret=interpret,
+        )
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, nxt[:, None], i + 1, axis=1
+        )
+        done = jnp.logical_or(done, nxt == end_id)
+        return i + 1, tokens, done, tuple(new_kv)
+
+    _, tokens, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), tokens, done, kv)
+    )
+    return tokens, None
+
+
+def make_fused_greedy_fn(model: MMT4Caption, max_len: int, start_id: int,
+                         end_id: int, *, block_b: int = 32,
+                         interpret: bool = False) -> Callable:
+    """jit(variables, feats, masks) -> (tokens, None), fused-kernel path."""
+
+    @jax.jit
+    def fn(variables, video_feats, video_masks):
+        return greedy_generate_fused(
+            model, variables, video_feats, video_masks,
+            max_len=max_len, start_id=start_id, end_id=end_id,
+            block_b=block_b, interpret=interpret,
+        )
+
+    return fn

@@ -1,0 +1,376 @@
+"""Fused single-token decode-step kernels (round-2 VERDICT next-#1).
+
+The KV-cached greedy decode loop is the framework's hottest path (the
+reference decodes every eval split per epoch; the bench's entire runtime).
+Profiling on v5e showed the XLA-compiled loop body runs ~3x above its HBM
+floor: dozens of small fusions per token (QKV projections, cache updates,
+matvec attentions, norms, FFN matmuls, the vocab projection) each pay
+scheduling and layout costs that dominate at single-token shapes.
+
+These kernels collapse one decode step into FIVE pallas_calls per token for a
+3-layer decoder (vs ~40 XLA fusions):
+
+* ``fused_layer_step`` — one kernel per decoder layer: packed-QKV projection,
+  cache row write, masked self-attention over the cache, out-projection,
+  norm1, cross-attention over the precomputed memory K/V, norm2, FFN, norm3.
+  Grid tiles the batch; weights use constant index maps so Mosaic keeps them
+  resident instead of re-fetching per tile.
+* ``fused_norm_generator_argmax`` — final stack LayerNorm + vocab projection
+  + argmax in one kernel, vocab tiled on an inner grid axis with a running
+  (max, argmax) carried across tiles — the [B, V] logits tensor never exists
+  in HBM (at B=1024/V=30522 that's a 125 MB/step round-trip on the XLA path).
+
+TPU-shaped design decisions:
+* caches are laid out [L, B, E]: the per-token row index lands on the LEADING
+  (untiled) dimension, where Mosaic allows arbitrary dynamic block indices —
+  on the sublane dimension a dynamic store must be 8-aligned, which a token
+  counter never is.
+* the kernel never writes the whole cache back: the cache enters read-only,
+  and the fresh K/V row leaves through a separate one-row output block whose
+  index map consumes the scalar-prefetched position (``input_output_aliases``
+  makes it an in-place row write: ~1.5 MB/step instead of a 283 MB
+  read-modify-write of the full rectangles).
+* the row being written is zeros in the cache (positions are written
+  monotonically), so self-attention uses the stale tile plus an in-register
+  "fresh row" correction to both the scores and the weighted sum.
+* attention head-splitting never reshapes the minor dim (D = E/H is rarely a
+  multiple of 128): per-head score reduction and the broadcast back go
+  through an [E, H] head-indicator matmul, keeping every big tensor at lane
+  width E.
+* GELU uses a rational erf (max err 1.5e-7) — Mosaic has no erf lowering,
+  and tanh-GELU would be ~1e-3 off the exact-erf numerics.
+
+Numerics match ``layers.TransformerDecoderLayer.decode_step`` bit-closely
+(fp32 softmax/norm statistics, matmuls with fp32 accumulation);
+``tests/test_pallas_decode.py`` asserts token-exact agreement of the full
+greedy loop in interpret mode. Replaces: the reference's per-token full
+decoder re-run (``/root/reference/model/CapDecoder.py:62-79``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+LN_EPS = 1e-5
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (max abs err 1.5e-7)."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    y = 1.0 - ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t * jnp.exp(-ax * ax)
+    return s * y
+
+
+def _gelu_exact(x):
+    """0.5 x (1 + erf(x / sqrt(2))) in fp32."""
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _layernorm(x, scale, bias):
+    """fp32-stat LayerNorm matching flax nn.LayerNorm(epsilon=1e-5)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + LN_EPS)
+    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+def _matmul(x, w, b, out_dtype):
+    y = jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return (y + b.astype(jnp.float32)).astype(out_dtype)
+
+
+def _heads_dot(x2d, sel):
+    """[N, E] x [E, H] -> [N, H] fp32 (per-head lane reduction via MXU)."""
+    return jax.lax.dot_general(
+        x2d, sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _attend_single_query(q, kc, vc, sel, selt, d, kbias, fresh=None, idx=None):
+    """One-query multi-head attention over an [L, Bt, E] cache tile.
+
+    q [Bt, E]; kc/vc [L, Bt, E]; sel [E, H]; kbias [L, Bt or 1] fp32.
+    ``fresh=(k1, v1)``: the current position's K/V (row ``idx`` of the cache
+    tile is stale zeros — its score and value contributions are patched in
+    from registers). -> [Bt, E] fp32.
+    """
+    l, bt, e = kc.shape
+    h = sel.shape[1]
+    qf = q.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.asarray(d, jnp.float32))
+    prod = qf[None] * kc.astype(jnp.float32)                 # [L, Bt, E]
+    logits = _heads_dot(prod.reshape(l * bt, e), sel).reshape(l, bt, h) * scale
+    if fresh is not None:
+        k1, v1 = fresh
+        lf = _heads_dot(qf * k1.astype(jnp.float32), sel) * scale  # [Bt, H]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (l, 1, 1), 0)
+        logits = jnp.where(pos == idx, lf[None], logits)
+    logits = logits + kbias[:, :, None]
+    m = jnp.max(logits, axis=0, keepdims=True)
+    ex = jnp.exp(logits - m)
+    w = ex / jnp.sum(ex, axis=0, keepdims=True)              # [L, Bt, H]
+    w_e = _heads_dot(w.reshape(l * bt, h), selt).reshape(l, bt, e)
+    out = jnp.sum(w_e * vc.astype(jnp.float32), axis=0)      # [Bt, E]
+    if fresh is not None:
+        pos = jax.lax.broadcasted_iota(jnp.int32, (l, 1, 1), 0)
+        wf = jnp.sum(jnp.where(pos == idx, w_e, 0.0), axis=0)  # [Bt, E]
+        out = out + wf * v1.astype(jnp.float32)
+    return out
+
+
+def _layer_step_kernel(
+    # scalar prefetch
+    idx_ref,
+    # tensor inputs
+    x_ref, k_ref, v_ref, ck_ref, cv_ref, membias_ref, sel_ref, selt_ref,
+    wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    wcq_ref, bcq_ref, wco_ref, bco_ref,
+    n1s_ref, n1b_ref, n2s_ref, n2b_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, n3s_ref, n3b_ref,
+    # outputs
+    xout_ref, krow_ref, vrow_ref,
+    *, heads: int,
+):
+    e = x_ref.shape[-1]
+    d = e // heads
+    idx = idx_ref[0]
+    x = x_ref[...]  # [Bt, E]
+
+    qkv = _matmul(x, wqkv_ref[...], bqkv_ref[...], jnp.float32)  # [Bt, 3E]
+    q = qkv[:, :e]
+    k1 = qkv[:, e:2 * e].astype(krow_ref.dtype)
+    v1 = qkv[:, 2 * e:].astype(vrow_ref.dtype)
+
+    # fresh row leaves through the one-row aliased output block
+    krow_ref[0] = k1
+    vrow_ref[0] = v1
+
+    kc = k_ref[...]  # [L, Bt, E] — row idx is stale zeros (patched in-reg)
+    vc = v_ref[...]
+    l = kc.shape[0]
+    sel = sel_ref[...]
+    selt = selt_ref[...]
+    # causal mask: rows beyond idx are future
+    pos = jax.lax.broadcasted_iota(jnp.int32, (l, 1), 0)
+    cbias = jnp.where(pos <= idx, 0.0, NEG_INF).astype(jnp.float32)
+    sa = _attend_single_query(q, kc, vc, sel, selt, d, cbias,
+                              fresh=(k1, v1), idx=idx)
+    sa = _matmul(sa.astype(x.dtype), wo_ref[...], bo_ref[...], jnp.float32)
+    x1 = _layernorm(x.astype(jnp.float32) + sa, n1s_ref[...], n1b_ref[...])
+    x1c = x1.astype(x.dtype)
+
+    cq = _matmul(x1c, wcq_ref[...], bcq_ref[...], jnp.float32)
+    # bias arrives [Bt or 1, Tm] (lane-legal blocks); attention wants [Tm, Bt]
+    mbias = membias_ref[...].astype(jnp.float32).T
+    ca = _attend_single_query(cq, ck_ref[...], cv_ref[...], sel, selt, d, mbias)
+    ca = _matmul(ca.astype(x.dtype), wco_ref[...], bco_ref[...], jnp.float32)
+    x2 = _layernorm(x1 + ca, n2s_ref[...], n2b_ref[...])
+    x2c = x2.astype(x.dtype)
+
+    h1 = _matmul(x2c, w1_ref[...], b1_ref[...], jnp.float32)
+    h1 = _gelu_exact(h1).astype(x.dtype)
+    h2 = _matmul(h1, w2_ref[...], b2_ref[...], jnp.float32)
+    x3 = _layernorm(x2 + h2, n3s_ref[...], n3b_ref[...])
+    xout_ref[...] = x3.astype(xout_ref.dtype)
+
+
+def fused_layer_step(
+    x: jnp.ndarray,            # [B, E] current activations
+    k_cache: jnp.ndarray,      # [L, B, E]
+    v_cache: jnp.ndarray,      # [L, B, E]
+    ck: jnp.ndarray,           # [Tm, B, E] cross K
+    cv: jnp.ndarray,           # [Tm, B, E] cross V
+    mem_bias: Optional[jnp.ndarray],  # [B, Tm] fp32 additive or None
+    weights: dict,
+    idx: jnp.ndarray,          # scalar int32 position
+    *,
+    heads: int,
+    block_b: int = 32,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decoder layer's decode step -> (x_out [B, E], k_cache, v_cache).
+
+    The returned caches are the inputs with row ``idx`` written in place.
+    ``weights``: wqkv [E,3E], bqkv [3E], wo [E,E], bo, wcq [E,E], bcq,
+    wco [E,E], bco, n1s/n1b/n2s/n2b/n3s/n3b [E], w1 [E,F], b1 [F],
+    w2 [F,E], b2 [E].
+    """
+    b, e = x.shape
+    l, tm = k_cache.shape[0], ck.shape[0]
+    f = weights["w1"].shape[1]
+    bt = min(block_b, b)
+    assert b % bt == 0, (b, bt)
+    assert e % heads == 0
+    grid = (b // bt,)
+    d = e // heads
+
+    # head-indicator matrices (see _attend_single_query)
+    lane = jnp.arange(e) // d
+    sel = (lane[:, None] == jnp.arange(heads)[None, :]).astype(jnp.float32)
+    selt = sel.T
+
+    use_mem_bias = mem_bias is not None
+    if mem_bias is None:
+        mem_bias = jnp.zeros((1, tm), jnp.float32)
+
+    # index maps receive (grid_idx, *scalar_prefetch_refs)
+    def row_spec(cols):
+        return pl.BlockSpec((bt, cols), lambda i, _s: (i, 0), memory_space=pltpu.VMEM)
+
+    def cache_spec(rows):
+        return pl.BlockSpec((rows, bt, e), lambda i, _s: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, _s: (0,) * nd, memory_space=pltpu.VMEM)
+
+    mem_bias_spec = (
+        pl.BlockSpec((bt, tm), lambda i, _s: (i, 0), memory_space=pltpu.VMEM)
+        if use_mem_bias
+        else pl.BlockSpec((1, tm), lambda i, _s: (0, 0), memory_space=pltpu.VMEM)
+    )
+    # the fresh K/V row: a one-row block whose position comes from the
+    # scalar-prefetched idx — the ONLY part of the cache written back
+    row_out_spec = pl.BlockSpec(
+        (1, bt, e), lambda i, s: (s[0], i, 0), memory_space=pltpu.VMEM
+    )
+
+    w = weights
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            row_spec(e), cache_spec(l), cache_spec(l), cache_spec(tm),
+            cache_spec(tm), mem_bias_spec,
+            const_spec((e, heads)), const_spec((heads, e)),
+            const_spec((e, 3 * e)), const_spec((3 * e,)),
+            const_spec((e, e)), const_spec((e,)),
+            const_spec((e, e)), const_spec((e,)),
+            const_spec((e, e)), const_spec((e,)),
+            const_spec((e,)), const_spec((e,)), const_spec((e,)), const_spec((e,)),
+            const_spec((e, f)), const_spec((f,)),
+            const_spec((f, e)), const_spec((e,)),
+            const_spec((e,)), const_spec((e,)),
+        ],
+        out_specs=(row_spec(e), row_out_spec, row_out_spec),
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, e), x.dtype),
+        jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+        jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+    )
+    kernel = functools.partial(_layer_step_kernel, heads=heads)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        # inputs (incl. scalar 0): [1]=x, [2]=k_cache, [3]=v_cache -> alias
+        # the caches onto outputs 1/2: in-place one-row writes
+        input_output_aliases={2: 1, 3: 2},
+        # the layer's full weight set (~13 MB bf16) plus double-buffered
+        # cache tiles exceed the 16 MB default scoped-vmem limit; v5e has
+        # 128 MB physical VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        jnp.asarray(idx, jnp.int32).reshape(1), x, k_cache, v_cache, ck, cv,
+        mem_bias, sel, selt,
+        w["wqkv"], w["bqkv"], w["wo"], w["bo"],
+        w["wcq"], w["bcq"], w["wco"], w["bco"],
+        w["n1s"], w["n1b"], w["n2s"], w["n2b"],
+        w["w1"], w["b1"], w["w2"], w["b2"], w["n3s"], w["n3b"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# final norm + generator + argmax
+# ---------------------------------------------------------------------------
+
+
+def _gen_argmax_kernel(x_ref, ns_ref, nb_ref, wg_ref, bg_ref,
+                       tok_ref, best_ref, yn_ref, *, vt: int):
+    """Grid (B_tiles, V_tiles), V innermost. Carries running (max, argmax)
+    in the revisited output blocks across the vocab tiles of one batch
+    tile."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        yn_ref[...] = _layernorm(
+            x_ref[...], ns_ref[...], nb_ref[...]
+        ).astype(yn_ref.dtype)
+        best_ref[...] = jnp.full(best_ref.shape, -jnp.inf, best_ref.dtype)
+        tok_ref[...] = jnp.zeros(tok_ref.shape, tok_ref.dtype)
+
+    logits = jax.lax.dot_general(
+        yn_ref[...], wg_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bg_ref[...].astype(jnp.float32)  # [Bt, VT]
+
+    tile_max = jnp.max(logits, axis=-1)
+    tile_arg = jnp.argmax(logits, axis=-1).astype(jnp.int32) + j * vt
+    prev = best_ref[:, 0]
+    take = tile_max > prev
+    best_ref[:, 0] = jnp.where(take, tile_max, prev)
+    tok_ref[:, 0] = jnp.where(take, tile_arg, tok_ref[:, 0])
+
+
+def fused_norm_generator_argmax(
+    x: jnp.ndarray,         # [B, E] final decoder activations
+    norm_scale: jnp.ndarray,
+    norm_bias: jnp.ndarray,
+    wg: jnp.ndarray,        # [E, V]
+    bg: jnp.ndarray,        # [V]
+    *,
+    block_b: int = 256,
+    block_v: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """LayerNorm -> vocab projection -> argmax, logits never hitting HBM.
+    -> token ids [B] int32. V must be padded to block_v by the caller
+    (pad columns with a -inf-ish bias so they never win)."""
+    b, e = x.shape
+    v = wg.shape[1]
+    bt = min(block_b, b)
+    assert b % bt == 0 and v % block_v == 0, (b, bt, v, block_v)
+    grid = (b // bt, v // block_v)
+
+    out = pl.pallas_call(
+        functools.partial(_gen_argmax_kernel, vt=block_v),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, e), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e, block_v), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_v,), lambda i, j: (j,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, e), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, e), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x, norm_scale, norm_bias, wg, bg)
+    return out[0][:, 0]
