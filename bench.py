@@ -200,8 +200,11 @@ def main() -> None:
         method=MMT4Caption.caption_loss,
     )
 
-    # ---- vct_tpu path: jitted KV-cached greedy -----------------------------
-    greedy = make_greedy_fn(model, MAX_LEN, 101, END_ID)
+    # ---- vct_tpu path: fused-kernel KV-cached greedy (the production TPU
+    # path; vct_tpu.decode_fast + ops.pallas_decode) -------------------------
+    from vct_tpu.decode import make_auto_greedy_fn
+
+    greedy = make_auto_greedy_fn(model, MAX_LEN, 101, END_ID)
     np.asarray(greedy(variables, feats, masks)[0])  # compile + warm
     iters = 8
     t0 = time.perf_counter()
@@ -210,6 +213,14 @@ def main() -> None:
     decode_secs = (time.perf_counter() - t0) / iters
     ours_cps = B / decode_secs
     decode_mfu = decode_flops_per_batch(B) / decode_secs / _peak_flops()
+
+    # module-graph greedy (same algorithm, no fused kernels) for attribution
+    module_greedy = make_greedy_fn(model, MAX_LEN, 101, END_ID)
+    np.asarray(module_greedy(variables, feats, masks)[0])
+    t0 = time.perf_counter()
+    for _ in range(4):
+        np.asarray(module_greedy(variables, feats, masks)[0])
+    module_cps = B * 4 / (time.perf_counter() - t0)
 
     # ---- training throughput (the fused-attention fwd+bwd path) ------------
     from vct_tpu.config import TrainConfig
@@ -292,6 +303,7 @@ def main() -> None:
                 "train_samples_per_sec": round(train_sps, 2),
                 "train_mfu": round(train_mfu, 4),
                 "decode_mfu": round(decode_mfu, 4),
+                "module_path_captions_per_sec": round(module_cps, 2),
                 "train_batch": TRAIN_B,
                 "bf16_guard": guard,
             }

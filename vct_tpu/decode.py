@@ -251,6 +251,33 @@ def make_greedy_fn(model: MMT4Caption, max_len: int, start_id: int, end_id: int,
     return fn
 
 
+def make_auto_greedy_fn(model: MMT4Caption, max_len: int, start_id: int,
+                        end_id: int, collect_attn: bool = False) -> Callable:
+    """Greedy decode on the fastest eligible path: the fused Pallas decode
+    kernels on TPU (``vct_tpu.decode_fast``; 12.9k vs 7.2k captions/s/chip
+    measured at B=1024), falling back to the module-graph program off-TPU,
+    for attention collection, or for batch sizes the kernels can't tile."""
+    module_fn = make_greedy_fn(model, max_len, start_id, end_id,
+                               collect_attn=collect_attn)
+    if (
+        collect_attn
+        or not model.tpu.use_pallas_attention
+        or jax.default_backend() != "tpu"
+    ):
+        return module_fn
+
+    from vct_tpu.decode_fast import fused_decode_supported, make_fused_greedy_fn
+
+    fused_fn = make_fused_greedy_fn(model, max_len, start_id, end_id)
+
+    def fn(variables, video_feats, video_masks):
+        if fused_decode_supported(video_feats[0].shape[0]):
+            return fused_fn(variables, video_feats, video_masks)
+        return module_fn(variables, video_feats, video_masks)
+
+    return fn
+
+
 def make_beam_fn(model: MMT4Caption, max_len: int, start_id: int, end_id: int,
                  beam_size: int, length_penalty: float = 0.6) -> Callable:
     @jax.jit

@@ -62,6 +62,21 @@ def make_video_caption_fn(
                 beam_size=beam_size, max_len=max_len,
                 start_id=start_id, end_id=end_id,
             )
+        if (
+            not collect_attn
+            and model.tpu.use_pallas_attention
+            and jax.default_backend() == "tpu"
+        ):
+            from vct_tpu.decode_fast import (
+                fused_decode_supported,
+                greedy_generate_fused,
+            )
+
+            if fused_decode_supported(n):
+                return greedy_generate_fused(
+                    model, variables, [feats], masks,
+                    max_len=max_len, start_id=start_id, end_id=end_id,
+                )
         return greedy_generate(
             model, variables, [feats], masks,
             max_len=max_len, start_id=start_id, end_id=end_id,

@@ -56,7 +56,7 @@ class CaptionService:
         import jax.numpy as jnp
 
         from vct_tpu.cli.common import load_checkpoint_into, make_trainer_pieces
-        from vct_tpu.decode import make_greedy_fn
+        from vct_tpu.decode import make_auto_greedy_fn
 
         self.cfg = cfg
         self.log = log
@@ -64,7 +64,8 @@ class CaptionService:
         self.batch_timeout = batch_timeout_ms / 1000.0
         self.model, self.tokenizer, variables = make_trainer_pieces(cfg)
         self.variables = load_checkpoint_into(variables, ckpt_path, log=log)
-        self.decode_fn = make_greedy_fn(
+        # fused Pallas decode on TPU; module-graph fallback elsewhere
+        self.decode_fn = make_auto_greedy_fn(
             self.model, cfg.test.max_length,
             self.tokenizer.start_id, self.tokenizer.end_id,
         )

@@ -129,7 +129,16 @@ class Trainer:
                 self.tokenizer.start_id, self.tokenizer.end_id,
                 cfg.tpu.beam_size,
             )
+        elif self.mesh.shape["data"] == 1:
+            # single-chip eval decoding rides the fused Pallas kernels on TPU
+            from vct_tpu.decode import make_auto_greedy_fn
+
+            self.greedy_fn = make_auto_greedy_fn(
+                self.model, cfg.test.max_length,
+                self.tokenizer.start_id, self.tokenizer.end_id,
+            )
         else:
+            # multi-chip GSPMD decode shards the module-graph program
             self.greedy_fn = make_greedy_fn(
                 self.model, cfg.test.max_length,
                 self.tokenizer.start_id, self.tokenizer.end_id,
