@@ -250,6 +250,27 @@ def main() -> None:
     train_sps = TRAIN_B / train_secs
     train_mfu = train_flops_per_batch(TRAIN_B) / train_secs / _peak_flops()
 
+    # peak-batch train throughput (B=256; the reference recipe is 64/GPU but
+    # the chip isn't saturated there — report both)
+    pb = 4 * TRAIN_B
+    pfeats, pmasks, pcaps, pcap_mask = _batch(pb, T, TRAIN_S, 512, VOCAB)
+    pvars = model.init(
+        jax.random.PRNGKey(0), pfeats, pmasks, pcaps, pcap_mask,
+        method=MMT4Caption.caption_loss,
+    )
+    pstate = make_train_state(pvars, optimizer)
+    pbatch = {"feats": pfeats, "masks": pmasks, "token_ids": pcaps,
+              "token_mask": pcap_mask}
+    for _ in range(3):
+        pstate, pmetrics = step(pstate, pbatch)
+    np.asarray(pmetrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(8):
+        pstate, pmetrics = step(pstate, pbatch)
+    np.asarray(pmetrics["loss"])
+    peak_sps = pb / ((time.perf_counter() - t0) / 8)
+    del pstate, pbatch
+
     # ---- bf16 numerics guard ------------------------------------------------
     guard = bf16_numerics_guard(variables, feats, masks)
 
@@ -301,6 +322,7 @@ def main() -> None:
                 "unit": "captions/sec/chip",
                 "vs_baseline": round(ours_cps / ref_cps, 2),
                 "train_samples_per_sec": round(train_sps, 2),
+                "train_samples_per_sec_b256": round(peak_sps, 2),
                 "train_mfu": round(train_mfu, 4),
                 "decode_mfu": round(decode_mfu, 4),
                 "module_path_captions_per_sec": round(module_cps, 2),

@@ -123,8 +123,9 @@ def test_two_d_mesh_model_axis():
 
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
     # gradient psum order differs between mesh shapes -> fp32 rounding noise,
-    # amplified by Adam's rsqrt; updates are ~1e-3, so 1e-5 is tight enough
+    # amplified by Adam's rsqrt; updates are ~1e-3, so 2e-5 is tight enough
+    # (the fused vocab-chunked loss adds its own summation-order jitter)
     l1 = jax.tree_util.tree_leaves(state1.params)
     l2 = jax.tree_util.tree_leaves(state2.params)
     for a, b in zip(l1, l2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

@@ -316,6 +316,10 @@ class TPUConfig:
     vocab_path: Optional[str] = None
     # Use the Pallas fused-attention kernel when running on TPU.
     use_pallas_attention: bool = True
+    # Fused LM-head+SCE loss (ops.fused_loss): the [B*S, vocab] logits never
+    # exist in HBM on loss-only forwards (train/val steps). Values/gradients
+    # match the materialized path to float summation order.
+    use_fused_loss: bool = True
     # Replicate reference quirks bit-for-bit (see SURVEY.md Appendix A and
     # models/ docstrings) instead of the corrected semantics.
     quirk_unmasked_aggregation: bool = False

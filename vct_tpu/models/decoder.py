@@ -33,8 +33,40 @@ from vct_tpu.models.embeddings import PositionalEmbedding
 from vct_tpu.models.layers import Cache, TransformerDecoder
 from vct_tpu.models.losses import cross_entropy_parts, sce_loss_parts
 from vct_tpu.ops.attention import causal_bias, combine_bias, padding_bias
+from vct_tpu.ops.fused_loss import linear_sce_parts
 
 Dtype = Any
+
+
+class LMHead(nn.Module):
+    """The vocab projection as explicit setup-time params.
+
+    Computationally identical to ``nn.Dense(vocab, dtype, param_dtype=f32)``
+    (same init, promotion and op order) but the kernel/bias are created in
+    ``setup`` rather than at first call — the fused linear+SCE loss path
+    (``ops.fused_loss``) consumes the raw params without ever applying the
+    projection, and the param tree must exist (for init/restore) either way.
+    Param names stay ``generator/{kernel,bias}`` (checkpoint key inventory,
+    SURVEY.md Appendix B: ``cap_decoder.generator.{weight,bias}``).
+    """
+
+    in_dim: int
+    vocab_size: int
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_dim, self.vocab_size), jnp.float32,
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.vocab_size,), jnp.float32
+        )
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        y = jnp.dot(x, self.kernel.astype(self.dtype))
+        return y + self.bias.astype(self.dtype)
 
 
 class CapDecoder(nn.Module):
@@ -50,6 +82,11 @@ class CapDecoder(nn.Module):
     quirk_no_memory_mask: bool = False
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    # Fused LM-head+loss (ops.fused_loss): applies on loss-only forwards —
+    # the [B*S, vocab] logits never exist in HBM. Same values/grads to float
+    # summation order (tests/test_fused_loss.py).
+    use_fused_loss: bool = True
+    fused_loss_block_v: int = 2048
 
     def setup(self):
         self.decoder = TransformerDecoder(
@@ -63,8 +100,8 @@ class CapDecoder(nn.Module):
             use_pallas=self.use_pallas,
             name="decoder",
         )
-        self.generator = nn.Dense(
-            self.vocab_size, dtype=self.dtype, param_dtype=jnp.float32, name="generator"
+        self.generator = LMHead(
+            self.embed_dim, self.vocab_size, dtype=self.dtype, name="generator"
         )
         self.tgt_to_emb = self.param(
             "tgt_to_emb",
@@ -96,6 +133,7 @@ class CapDecoder(nn.Module):
         return_attn: bool = False,
         row_valid: Optional[jnp.ndarray] = None,
         return_parts: bool = False,
+        loss_only: bool = False,
     ):
         """Teacher-forced training/val forward (``CapDecoder.py:34-60``).
 
@@ -104,7 +142,9 @@ class CapDecoder(nn.Module):
         reference's batches are ragged and never contain filler).
         Returns (logits [B, S-1, V], loss, attn or None); with
         ``return_parts`` the loss slot is (ce_sum, ce_n, rce_sum, rce_n) so
-        callers can aggregate exactly across batches.
+        callers can aggregate exactly across batches. ``loss_only`` lets the
+        fused LM-head+loss kernel skip materializing the logits (the logits
+        slot is then None when the fused path is enabled).
         """
         tgt_input = tgt[:, :-1]
         tgt_out = tgt[:, 1:]
@@ -124,34 +164,54 @@ class CapDecoder(nn.Module):
             deterministic=deterministic,
             return_attn=return_attn,
         )
-        logits = self.generator(outs)
-
-        flat_logits = logits.reshape(-1, self.vocab_size)
         flat_labels = tgt_out.reshape(-1)
         valid_flat = None
         if row_valid is not None:
             valid_flat = jnp.broadcast_to(row_valid[:, None], tgt_out.shape).reshape(-1)
-        if self.sce_loss_alpha == 1.0:
-            ce_sum, ce_n = cross_entropy_parts(
-                flat_logits, flat_labels, self.pad_id, valid_flat
-            )
-            parts = (ce_sum, ce_n, jnp.zeros(()), jnp.zeros(()))
-        else:
-            # rect_mask: positions inside the reference's ragged [B, S_batch-1]
-            # rectangle, where S_batch = longest caption in the batch (see
-            # losses.sce_loss docstring). Filler rows are copies of real rows,
-            # so they never raise batch_max; they are excluded via valid_flat.
-            lengths = jnp.sum(~tgt_padding_mask, axis=1)
-            batch_max = jnp.max(lengths)
-            pos = jnp.arange(tgt_out.shape[1])[None, :]
-            rect = jnp.broadcast_to(pos < batch_max - 1, tgt_out.shape).reshape(-1)
-            parts = sce_loss_parts(
-                flat_logits,
+        # rect_mask: positions inside the reference's ragged [B, S_batch-1]
+        # rectangle, where S_batch = longest caption in the batch (see
+        # losses.sce_loss docstring). Filler rows are copies of real rows,
+        # so they never raise batch_max; they are excluded via valid_flat.
+        lengths = jnp.sum(~tgt_padding_mask, axis=1)
+        batch_max = jnp.max(lengths)
+        pos = jnp.arange(tgt_out.shape[1])[None, :]
+        rect = jnp.broadcast_to(pos < batch_max - 1, tgt_out.shape).reshape(-1)
+
+        if loss_only and self.use_fused_loss:
+            logits = None
+            keep_ce = (flat_labels != self.pad_id).astype(jnp.float32)
+            m_rce = rect.astype(jnp.float32)
+            if valid_flat is not None:
+                vf = valid_flat.astype(jnp.float32)
+                keep_ce = keep_ce * vf
+                m_rce = m_rce * vf
+            parts = linear_sce_parts(
+                outs.reshape(-1, self.embed_dim),
+                self.generator.kernel,
+                self.generator.bias,
                 flat_labels,
-                ignore_index=self.pad_id,
-                rect_mask=rect,
-                valid=valid_flat,
+                keep_ce,
+                m_rce,
+                self.dtype,
+                self.fused_loss_block_v,
+                self.sce_loss_alpha != 1.0,
             )
+        else:
+            logits = self.generator(outs)
+            flat_logits = logits.reshape(-1, self.vocab_size)
+            if self.sce_loss_alpha == 1.0:
+                ce_sum, ce_n = cross_entropy_parts(
+                    flat_logits, flat_labels, self.pad_id, valid_flat
+                )
+                parts = (ce_sum, ce_n, jnp.zeros(()), jnp.zeros(()))
+            else:
+                parts = sce_loss_parts(
+                    flat_logits,
+                    flat_labels,
+                    ignore_index=self.pad_id,
+                    rect_mask=rect,
+                    valid=valid_flat,
+                )
         ce_sum, ce_n, rce_sum, rce_n = parts
         loss = (
             self.sce_loss_alpha * ce_sum / jnp.maximum(ce_n, 1.0)

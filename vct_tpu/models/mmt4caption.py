@@ -106,6 +106,7 @@ class MMT4Caption(nn.Module):
             activation=cfg.activation,
             quirk_no_memory_mask=self.tpu.quirk_no_memory_mask_in_decoder,
             use_pallas=self.tpu.use_pallas_attention,
+            use_fused_loss=self.tpu.use_fused_loss,
             name="cap_decoder",
         )
         if cfg.matching is not None:
@@ -138,7 +139,7 @@ class MMT4Caption(nn.Module):
         )
         _, loss, _ = self.cap_decoder(
             memory, token_ids, token_pad_mask, mem_mask,
-            deterministic=deterministic, row_valid=row_valid,
+            deterministic=deterministic, row_valid=row_valid, loss_only=True,
         )
         return loss
 
@@ -161,6 +162,7 @@ class MMT4Caption(nn.Module):
         _, parts, _ = self.cap_decoder(
             memory, token_ids, token_pad_mask, mem_mask,
             deterministic=deterministic, row_valid=row_valid, return_parts=True,
+            loss_only=True,
         )
         return parts
 
@@ -218,7 +220,7 @@ class MMT4Caption(nn.Module):
         )
         _, cap_loss, _ = self.cap_decoder(
             memory, token_ids, token_pad_mask, mem_mask,
-            deterministic=deterministic, row_valid=row_valid,
+            deterministic=deterministic, row_valid=row_valid, loss_only=True,
         )
         match_loss = self.matching(text_feat, agg, valid=row_valid)
         beta = self.config.loss_beta
@@ -242,6 +244,7 @@ class MMT4Caption(nn.Module):
         _, parts, _ = self.cap_decoder(
             memory, token_ids, token_pad_mask, mem_mask,
             deterministic=deterministic, row_valid=row_valid, return_parts=True,
+            loss_only=True,
         )
         match_loss = self.matching(text_feat, agg, valid=row_valid)
         return parts + (match_loss,)

@@ -84,14 +84,13 @@ def dot_product_attention(
     global state, so two models with different settings coexist).
     """
     if use_pallas and _pallas_eligible(q, deterministic, return_weights):
-        from vct_tpu.ops.pallas_attention import (
-            fused_attention,
-            fused_attention_trainable,
-        )
+        from vct_tpu.ops.pallas_attention import fused_attention_trainable
 
         if deterministic:
-            # inference fast path: no vjp machinery, no mask plumbing
-            return fused_attention(q, k, v, bias), None
+            # no-dropout path, still differentiable (rate-0 trainable wrapper:
+            # same kernel work; residuals are just the input refs). A plain
+            # non-vjp kernel here would crash jax.grad of a deterministic loss.
+            return fused_attention_trainable(0.0, False, q, k, v, bias, None), None
         rate = float(dropout_rate)
         keep = None
         if rate > 0.0:
