@@ -117,3 +117,25 @@ def test_beam_scores_are_ordered(model_and_vars):
     )
     # wider beam can only find equal-or-better raw log-prob sequences
     assert (np.asarray(s4) >= np.asarray(s1) - 1e-4).all()
+
+
+def test_pipelined_map_matches_sequential(model_and_vars):
+    """pipelined_map yields (batch, host result) pairs in submission order and
+    bit-identical to a sequential launch->fetch loop, at any window depth."""
+    from vct_tpu.decode import pipelined_map
+
+    model, variables, feats, masks = model_and_vars
+    fn = make_greedy_fn(model, MAX_LEN, START, END)
+
+    def launch(shift):
+        shifted = [f + 0.01 * shift for f in feats]
+        return fn(variables, shifted, masks)[0]
+
+    seq = [np.asarray(launch(s)) for s in range(5)]
+    for depth in (1, 2, 4, 8):
+        out = list(pipelined_map(launch, range(5), depth=depth))
+        assert [b for b, _ in out] == list(range(5))
+        for (_, got), want in zip(out, seq):
+            assert isinstance(got, np.ndarray)
+            np.testing.assert_array_equal(got, want)
+    assert list(pipelined_map(launch, [], depth=2)) == []

@@ -50,7 +50,12 @@ def evaluate(cfg, ckpt_path: str, beam: int = 0, log=print) -> Dict[str, float]:
     import jax.numpy as jnp
 
     from vct_tpu.data.loader import build_dataloader
-    from vct_tpu.decode import detokenize_batch, make_beam_fn, make_greedy_fn
+    from vct_tpu.decode import (
+        detokenize_batch,
+        make_auto_greedy_fn,
+        make_beam_fn,
+        pipelined_map,
+    )
     from vct_tpu.evalcap.scorer import COCOScorer, make_coco_sample
 
     model, tokenizer, variables = make_trainer_pieces(cfg)
@@ -61,14 +66,16 @@ def evaluate(cfg, ckpt_path: str, beam: int = 0, log=print) -> Dict[str, float]:
         decode_fn = make_beam_fn(model, cfg.test.max_length,
                                  tokenizer.start_id, tokenizer.end_id, beam)
     else:
-        decode_fn = make_greedy_fn(model, cfg.test.max_length,
-                                   tokenizer.start_id, tokenizer.end_id)
+        decode_fn = make_auto_greedy_fn(model, cfg.test.max_length,
+                                        tokenizer.start_id, tokenizer.end_id)
 
-    vid2result: Dict[str, str] = {}
-    for batch in loader:
+    def _launch(batch):
         feats = [jnp.asarray(f) for f in batch.feats]
         masks = [jnp.asarray(m) for m in batch.masks]
-        tokens = decode_fn(variables, feats, masks)[0]
+        return decode_fn(variables, feats, masks)[0]
+
+    vid2result: Dict[str, str] = {}
+    for batch, tokens in pipelined_map(_launch, loader):
         caps = detokenize_batch(tokenizer, tokens)
         for vid, cap in list(zip(batch.vids, caps))[: batch.n_valid]:
             vid2result[vid] = cap

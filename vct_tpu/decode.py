@@ -296,3 +296,32 @@ def detokenize_batch(tokenizer, tokens) -> List[str]:
     import numpy as np
 
     return [tokenizer.decode_caption(row) for row in np.asarray(tokens)]
+
+
+def pipelined_map(launch, batches, *, depth: int = 2):
+    """Map a device-launching ``launch(batch) -> device result`` over an
+    iterable, keeping up to ``depth`` executions in flight; yields
+    ``(batch, host_result)`` in submission order.
+
+    Split-decode loops (eval every epoch, ``train.py:248`` in the reference)
+    are fetch-latency-bound when they materialize each batch's tokens before
+    launching the next: on a relay-attached TPU every synchronous fetch costs
+    a full round trip (~35 ms measured) that enqueue-only dispatch does not.
+    Keeping the next batch in flight while the previous one is fetched and
+    detokenized raised measured decode throughput from 13.9k to ~23k
+    captions/s/chip at B=1024 (tools/profile_decode9/10); on a direct-attached
+    TPU it still overlaps host detokenization with device compute. ``depth=2``
+    (double buffering) captures nearly all of the win — deeper windows only
+    add memory.
+    """
+    from collections import deque
+
+    q: deque = deque()
+    for b in batches:
+        q.append((b, launch(b)))
+        if len(q) > depth:
+            b0, r0 = q.popleft()
+            yield b0, jax.device_get(r0)
+    while q:
+        b0, r0 = q.popleft()
+        yield b0, jax.device_get(r0)

@@ -31,7 +31,12 @@ import numpy as np
 from vct_tpu.config import Config
 from vct_tpu.convert import convert_state_dict, load_torch_state_dict
 from vct_tpu.data.loader import DataLoader, build_dataloader
-from vct_tpu.decode import detokenize_batch, make_beam_fn, make_greedy_fn
+from vct_tpu.decode import (
+    detokenize_batch,
+    make_beam_fn,
+    make_greedy_fn,
+    pipelined_map,
+)
 from vct_tpu.evalcap.scorer import COCOScorer, make_coco_sample
 from vct_tpu.models.mmt4caption import MMT4Caption
 from vct_tpu.parallel.mesh import make_mesh, replicate, shard_batch_arrays
@@ -281,10 +286,15 @@ class Trainer:
         which ``collate``'s fixed rectangles guarantee."""
         variables = {"params": self.state.params, "buffers": self.state.buffers}
         vid2result: Dict[str, str] = {}
-        for batch in self._progress(loader, "decode"):
+
+        def _launch(batch):
             feats = self._shard(list(batch.feats))
             masks = self._shard(list(batch.masks))
-            tokens, _ = self.greedy_fn(variables, feats, masks)
+            return self.greedy_fn(variables, feats, masks)[0]
+
+        for batch, tokens in pipelined_map(
+            _launch, self._progress(loader, "decode")
+        ):
             caps = detokenize_batch(self.tokenizer, tokens)
             for vid, cap in list(zip(batch.vids, caps))[: batch.n_valid]:
                 vid2result[vid] = cap
