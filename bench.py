@@ -45,11 +45,11 @@ from __graft_entry__ import _batch, _flagship
 from vct_tpu.decode import make_greedy_fn
 from vct_tpu.models.mmt4caption import MMT4Caption
 
-# B=1024 amortizes the fixed per-dispatch cost (measured sweep on v5e:
-# 64->1645, 128->3050, 256->5151, 512->6453, 1024->7489, 2048->8238
-# captions/s; the decode is latency- not FLOP-bound at this model size, and
-# past 1024 the extra latency outweighs the marginal throughput).
-B = 1024
+# B=2048 is the steady-state sweet spot (double-buffered sweep on v5e:
+# 1024->23.0k, 2048->24.5k, 4096->25.5k, 8192->25.9k captions/s —
+# tools/profile_decode12): near the ~26k asymptote while keeping batch
+# latency under 100 ms and the KV rectangles small.
+B = 2048
 T = 12
 MAX_LEN = 30
 VOCAB = 30522

@@ -107,3 +107,43 @@ def test_generator_argmax_kernel_alone(rng):
     out = fused_norm_generator_argmax(x, ns, nb, wg_p, bg_p,
                                       block_b=4, block_v=bv, interpret=True)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_stacked_layers_kernel_matches_per_layer(rng):
+    """fused_layers_step (whole stack, one launch) is bit-exact with the
+    sequential per-layer fused_layer_step composition, including the
+    in-place cache-row writes, after several seeded steps."""
+    from vct_tpu.ops.pallas_decode import fused_layer_step, fused_layers_step
+
+    b, e, f, h, l, tm, nl = 8, 128, 256, 4, 16, 8, 3
+    def t(*s):
+        return jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.05)
+
+    layers = [dict(wqkv=t(e, 3 * e), bqkv=t(3 * e), wo=t(e, e), bo=t(e),
+                   wcq=t(e, e), bcq=t(e), wco=t(e, e), bco=t(e),
+                   n1s=jnp.ones(e), n1b=t(e), n2s=jnp.ones(e), n2b=t(e),
+                   w1=t(e, f), b1=t(f), w2=t(f, e), b2=t(e),
+                   n3s=jnp.ones(e), n3b=t(e)) for _ in range(nl)]
+    stacked = {k: jnp.stack([lw[k] for lw in layers]) for k in layers[0]}
+    kc = [jnp.zeros((l, b, e)) for _ in range(nl)]
+    vc = [jnp.zeros((l, b, e)) for _ in range(nl)]
+    ck = [t(tm, b, e) for _ in range(nl)]
+    cv = [t(tm, b, e) for _ in range(nl)]
+    mem_bias = jnp.where(jnp.asarray(rng.random((b, tm)) < 0.25),
+                         -1e30, 0.0).astype(jnp.float32)
+    ks, vs = jnp.stack(kc), jnp.stack(vc)
+    cks, cvs = jnp.stack(ck), jnp.stack(cv)
+
+    for idx in range(3):
+        x = t(b, e)
+        x_ref = x
+        for li in range(nl):
+            x_ref, kc[li], vc[li] = fused_layer_step(
+                x_ref, kc[li], vc[li], ck[li], cv[li], mem_bias, layers[li],
+                idx, heads=h, block_b=4, interpret=True)
+        x_new, ks, vs = fused_layers_step(
+            x, ks, vs, cks, cvs, mem_bias, stacked, idx,
+            heads=h, block_b=4, interpret=True)
+        np.testing.assert_array_equal(np.asarray(x_ref), np.asarray(x_new))
+        np.testing.assert_array_equal(np.asarray(jnp.stack(kc)), np.asarray(ks))
+        np.testing.assert_array_equal(np.asarray(jnp.stack(vc)), np.asarray(vs))

@@ -2,9 +2,10 @@
 
 Same semantics as ``vct_tpu.decode.greedy_generate`` (token-exact; asserted by
 ``tests/test_pallas_decode.py``), but the while-loop body runs on the
-``vct_tpu.ops.pallas_decode`` kernels: one fused kernel per decoder layer
-(QKV + in-place cache write + self/cross attention + norms + FFN) plus one
-fused LayerNorm+generator+argmax kernel — ~5 device ops per token instead of
+``vct_tpu.ops.pallas_decode`` kernels: ONE fused kernel for the whole decoder
+stack (per layer: QKV + in-place cache write + self/cross attention + norms +
+FFN, statically unrolled over layers) plus one fused
+LayerNorm+generator+argmax kernel — 2 device kernels per token instead of
 the ~40 XLA fusions of the module-graph path, and the [B, vocab] logits never
 round-trip through HBM.
 
@@ -22,7 +23,10 @@ import jax
 import jax.numpy as jnp
 
 from vct_tpu.models.mmt4caption import MMT4Caption
-from vct_tpu.ops.pallas_decode import fused_layer_step, fused_norm_generator_argmax
+from vct_tpu.ops.pallas_decode import (
+    fused_layers_step,
+    fused_norm_generator_argmax,
+)
 
 NEG_INF = -1e30
 
@@ -31,9 +35,12 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def pick_block_b(b: int, cap: int = 128):
+def pick_block_b(b: int, cap: int = 64):
     """Largest batch tile <= cap that divides b and satisfies the sublane
-    constraint (multiple of 8, or the whole batch). None = unsupported."""
+    constraint (multiple of 8, or the whole batch). None = unsupported.
+    Default cap 64: the whole-stack kernel's tiles (NL layers of cache +
+    cross blocks) overflow VMEM at 128 (the per-layer kernels measured best
+    at 128, the stacked kernel at 64 — 23.3k vs 22.9k captions/s)."""
     for bt in (cap, 64, 32, 16, 8):
         if bt <= b and b % bt == 0:
             return bt
@@ -78,6 +85,8 @@ def extract_fast_weights(model: MMT4Caption, variables, *, block_v: int = 1024):
             "n3b": lp["norm3"]["bias"].astype(jnp.float32),
         })
 
+    stacked = {k: jnp.stack([lw[k] for lw in layers]) for k in layers[0]}
+
     wg = p["generator"]["kernel"].astype(dt)
     bg = p["generator"]["bias"].astype(jnp.float32)
     v = wg.shape[1]
@@ -89,6 +98,7 @@ def extract_fast_weights(model: MMT4Caption, variables, *, block_v: int = 1024):
 
     return {
         "layers": layers,
+        "stacked": stacked,
         "norm_s": dec["norm"]["scale"].astype(jnp.float32),
         "norm_b": dec["norm"]["bias"].astype(jnp.float32),
         "wg": wg,
@@ -115,8 +125,8 @@ def greedy_generate_fused(
     interpret: bool = False,
 ):
     """-> (tokens [B, max_len] int32, None) — fused-kernel greedy decode.
-    ``block_b=None`` picks the largest legal batch tile (128 measured best
-    at B=1024 on v5e: 12.9k captions/s vs 11.3k at 32)."""
+    ``block_b=None`` picks the largest legal batch tile (64 for the stacked
+    whole-decoder kernel; 128 overflows VMEM — see ``pick_block_b``)."""
     b_in = video_feats[0].shape[0]
     if block_b is None:
         block_b = pick_block_b(b_in)
@@ -139,14 +149,16 @@ def greedy_generate_fused(
     # dynamic row indexing is only unrestricted on untiled dims)
     caches = model.apply(variables, b, max_len, memory, method=MMT4Caption.init_cache)
     tm_pad = _round_up(tm, 8)
-    cross = []
+    cks, cvs = [], []
     for c in caches:
         ck = c["ck"].reshape(b, tm, e).astype(dt).transpose(1, 0, 2)
         cv = c["cv"].reshape(b, tm, e).astype(dt).transpose(1, 0, 2)
         if tm_pad != tm:
             ck = jnp.pad(ck, ((0, tm_pad - tm), (0, 0), (0, 0)))
             cv = jnp.pad(cv, ((0, tm_pad - tm), (0, 0), (0, 0)))
-        cross.append((ck, cv))
+        cks.append(ck)
+        cvs.append(cv)
+    cks, cvs = jnp.stack(cks), jnp.stack(cvs)  # [NL, Tm_pad, B, E]
 
     # memory bias [B, Tm_pad] fp32: NEG_INF on real padding (unless the
     # no-memory-mask quirk applies) AND on the Tm->Tm_pad filler columns
@@ -160,10 +172,9 @@ def greedy_generate_fused(
                            constant_values=NEG_INF)
 
     l_pad = _round_up(max_len, 8)
-    kv = tuple(
-        (jnp.zeros((l_pad, b, e), dt), jnp.zeros((l_pad, b, e), dt))
-        for _ in fw["layers"]
-    )
+    nl = len(fw["layers"])
+    ks = jnp.zeros((nl, l_pad, b, e), dt)
+    vs = jnp.zeros((nl, l_pad, b, e), dt)
 
     tokens = jnp.full((b, max_len), pad_id, jnp.int32).at[:, 0].set(start_id)
     done = jnp.zeros((b,), bool)
@@ -171,23 +182,20 @@ def greedy_generate_fused(
     emb, pe = fw["emb"], fw["pe"]
 
     def cond(state):
-        i, _, done, _ = state
+        i, _, done, _, _ = state
         return jnp.logical_and(i < max_len - 1, ~jnp.all(done))
 
     def body(state):
-        i, tokens, done, kv = state
+        i, tokens, done, ks, vs = state
         cur = jax.lax.dynamic_slice_in_dim(tokens, i, 1, axis=1)[:, 0]
         x = jnp.take(emb, cur, axis=0)
         x = jnp.where((cur == pad_id)[:, None], 0.0, x)
         x = x + jax.lax.dynamic_slice_in_dim(pe, i, 1, axis=0)
         x = x.astype(dt)
-        new_kv = []
-        for (k, v), (ck, cv), w in zip(kv, cross, fw["layers"]):
-            x, k, v = fused_layer_step(
-                x, k, v, ck, cv, mem_bias, w, i,
-                heads=heads, block_b=block_b, interpret=interpret,
-            )
-            new_kv.append((k, v))
+        x, ks, vs = fused_layers_step(
+            x, ks, vs, cks, cvs, mem_bias, fw["stacked"], i,
+            heads=heads, block_b=block_b, interpret=interpret,
+        )
         nxt = fused_norm_generator_argmax(
             x, fw["norm_s"], fw["norm_b"], fw["wg"], fw["bg"],
             block_v=block_v, interpret=interpret,
@@ -196,10 +204,10 @@ def greedy_generate_fused(
             tokens, nxt[:, None], i + 1, axis=1
         )
         done = jnp.logical_or(done, nxt == end_id)
-        return i + 1, tokens, done, tuple(new_kv)
+        return i + 1, tokens, done, ks, vs
 
-    _, tokens, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), tokens, done, kv)
+    _, tokens, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), tokens, done, ks, vs)
     )
     return tokens, None
 

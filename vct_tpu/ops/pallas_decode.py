@@ -299,6 +299,175 @@ def fused_layer_step(
 
 
 # ---------------------------------------------------------------------------
+# all decoder layers in ONE launch
+# ---------------------------------------------------------------------------
+
+
+def _layers_step_kernel(
+    # scalar prefetch
+    idx_ref,
+    # tensor inputs (stacked on a leading layer axis)
+    x_ref, k_ref, v_ref, ck_ref, cv_ref, membias_ref, sel_ref, selt_ref,
+    wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    wcq_ref, bcq_ref, wco_ref, bco_ref,
+    n1s_ref, n1b_ref, n2s_ref, n2b_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, n3s_ref, n3b_ref,
+    # outputs
+    xout_ref, krow_ref, vrow_ref,
+    *, heads: int, nl: int,
+):
+    """``_layer_step_kernel`` unrolled over all ``nl`` decoder layers — one
+    kernel launch per token instead of one per layer. The layer loop is a
+    static Python unroll (nl is 2-3 for every shipped config), so Mosaic sees
+    straight-line code; per-layer tensors are static leading-axis slices."""
+    e = x_ref.shape[-1]
+    d = e // heads
+    idx = idx_ref[0]
+    sel = sel_ref[...]
+    selt = selt_ref[...]
+    mbias = membias_ref[...].astype(jnp.float32).T
+    l = k_ref.shape[1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (l, 1), 0)
+    cbias = jnp.where(pos <= idx, 0.0, NEG_INF).astype(jnp.float32)
+
+    x = x_ref[...]  # [Bt, E]
+    for li in range(nl):
+        qkv = _matmul(x, wqkv_ref[li], bqkv_ref[li], jnp.float32)
+        q = qkv[:, :e]
+        k1 = qkv[:, e:2 * e].astype(krow_ref.dtype)
+        v1 = qkv[:, 2 * e:].astype(vrow_ref.dtype)
+        krow_ref[li, 0] = k1
+        vrow_ref[li, 0] = v1
+        sa = _attend_single_query(q, k_ref[li], v_ref[li], sel, selt, d,
+                                  cbias, fresh=(k1, v1), idx=idx)
+        sa = _matmul(sa.astype(x.dtype), wo_ref[li], bo_ref[li], jnp.float32)
+        x1 = _layernorm(x.astype(jnp.float32) + sa, n1s_ref[li], n1b_ref[li])
+        x1c = x1.astype(x.dtype)
+
+        cq = _matmul(x1c, wcq_ref[li], bcq_ref[li], jnp.float32)
+        ca = _attend_single_query(cq, ck_ref[li], cv_ref[li], sel, selt, d,
+                                  mbias)
+        ca = _matmul(ca.astype(x.dtype), wco_ref[li], bco_ref[li], jnp.float32)
+        x2 = _layernorm(x1 + ca, n2s_ref[li], n2b_ref[li])
+        x2c = x2.astype(x.dtype)
+
+        h1 = _matmul(x2c, w1_ref[li], b1_ref[li], jnp.float32)
+        h1 = _gelu_exact(h1).astype(x.dtype)
+        h2 = _matmul(h1, w2_ref[li], b2_ref[li], jnp.float32)
+        x3 = _layernorm(x2 + h2, n3s_ref[li], n3b_ref[li])
+        x = x3.astype(x.dtype)
+    xout_ref[...] = x.astype(xout_ref.dtype)
+
+
+def fused_layers_step(
+    x: jnp.ndarray,            # [B, E] current activations
+    k_cache: jnp.ndarray,      # [NL, L, B, E] all layers' self caches
+    v_cache: jnp.ndarray,      # [NL, L, B, E]
+    ck: jnp.ndarray,           # [NL, Tm, B, E] all layers' cross K
+    cv: jnp.ndarray,           # [NL, Tm, B, E]
+    mem_bias: Optional[jnp.ndarray],  # [B, Tm] fp32 additive or None
+    weights: dict,             # per-layer tensors stacked on axis 0
+    idx: jnp.ndarray,          # scalar int32 position
+    *,
+    heads: int,
+    block_b: int = 64,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The WHOLE decoder stack's decode step in one pallas_call ->
+    (x_out [B, E], k_cache, v_cache with row ``idx`` written per layer).
+
+    ``weights`` carries the same tensors as ``fused_layer_step`` but stacked
+    [NL, ...]. VMEM budget at the default block_b=64 for the flagship
+    (NL=3, E=768, F=2048, L=32, Tm=16): ~40 MB stacked weights (constant
+    blocks, fetched once) + ~28 MB of cache/cross tiles per grid step —
+    within v5e's 128 MB with double buffering. block_b=128 would double the
+    tile traffic and overflow; 64 measures as fast (the launch count, not the
+    tile size, was the bottleneck being removed here).
+    """
+    b, e = x.shape
+    nl, l = k_cache.shape[0], k_cache.shape[1]
+    tm = ck.shape[1]
+    f = weights["w1"].shape[-1]
+    bt = min(block_b, b)
+    assert b % bt == 0, (b, bt)
+    assert e % heads == 0
+    grid = (b // bt,)
+    d = e // heads
+
+    lane = jnp.arange(e) // d
+    sel = (lane[:, None] == jnp.arange(heads)[None, :]).astype(jnp.float32)
+    selt = sel.T
+
+    use_mem_bias = mem_bias is not None
+    if mem_bias is None:
+        mem_bias = jnp.zeros((1, tm), jnp.float32)
+
+    def row_spec(cols):
+        return pl.BlockSpec((bt, cols), lambda i, _s: (i, 0), memory_space=pltpu.VMEM)
+
+    def cache_spec(rows):
+        return pl.BlockSpec((nl, rows, bt, e), lambda i, _s: (0, 0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, _s: (0,) * nd, memory_space=pltpu.VMEM)
+
+    mem_bias_spec = (
+        pl.BlockSpec((bt, tm), lambda i, _s: (i, 0), memory_space=pltpu.VMEM)
+        if use_mem_bias
+        else pl.BlockSpec((1, tm), lambda i, _s: (0, 0), memory_space=pltpu.VMEM)
+    )
+    row_out_spec = pl.BlockSpec(
+        (nl, 1, bt, e), lambda i, s: (0, s[0], i, 0), memory_space=pltpu.VMEM
+    )
+
+    w = weights
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            row_spec(e), cache_spec(l), cache_spec(l), cache_spec(tm),
+            cache_spec(tm), mem_bias_spec,
+            const_spec((e, heads)), const_spec((heads, e)),
+            const_spec((nl, e, 3 * e)), const_spec((nl, 3 * e)),
+            const_spec((nl, e, e)), const_spec((nl, e)),
+            const_spec((nl, e, e)), const_spec((nl, e)),
+            const_spec((nl, e, e)), const_spec((nl, e)),
+            const_spec((nl, e)), const_spec((nl, e)),
+            const_spec((nl, e)), const_spec((nl, e)),
+            const_spec((nl, e, f)), const_spec((nl, f)),
+            const_spec((nl, f, e)), const_spec((nl, e)),
+            const_spec((nl, e)), const_spec((nl, e)),
+        ],
+        out_specs=(row_spec(e), row_out_spec, row_out_spec),
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, e), x.dtype),
+        jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+        jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+    )
+    kernel = functools.partial(_layers_step_kernel, heads=heads, nl=nl)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases={2: 1, 3: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(idx, jnp.int32).reshape(1), x, k_cache, v_cache, ck, cv,
+        mem_bias, sel, selt,
+        w["wqkv"], w["bqkv"], w["wo"], w["bo"],
+        w["wcq"], w["bcq"], w["wco"], w["bco"],
+        w["n1s"], w["n1b"], w["n2s"], w["n2b"],
+        w["w1"], w["b1"], w["w2"], w["b2"], w["n3s"], w["n3b"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # final norm + generator + argmax
 # ---------------------------------------------------------------------------
 
