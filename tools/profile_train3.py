@@ -28,8 +28,10 @@ def main():
                  "token_mask": cap_mask}
         optimizer = build_optimizer(TrainConfig(), variables["params"])
 
-        # full production step (dropout on)
-        state = make_train_state(variables, optimizer)
+        # full production step (dropout on) — the step donates its state, so
+        # hand it a copy and keep `variables` alive for the later sections
+        state = make_train_state(jax.tree_util.tree_map(jnp.copy, variables),
+                                 optimizer)
         step = make_train_step(model, optimizer, "caption")
         for _ in range(3):
             state, m = step(state, batch)

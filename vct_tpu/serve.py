@@ -182,15 +182,41 @@ class CaptionService:
 
     # -- batcher ------------------------------------------------------------
 
-    def _batch_loop(self):
-        from vct_tpu.data.collate import fit_time_axis
+    def _finish(self, batch: List["_Request"], tokens, n: int) -> None:
+        """Materialize a launched decode and answer its requests. Async
+        dispatch errors surface here, at fetch time."""
         from vct_tpu.decode import detokenize_batch
 
+        try:
+            captions = detokenize_batch(self.tokenizer, tokens)[:n]
+            for r, c in zip(batch, captions):
+                r.caption = c
+            self.stats["requests"] += n
+            self.stats["batches"] += 1
+        except Exception as e:  # noqa: BLE001 - propagate per request
+            for r in batch:
+                r.error = f"{type(e).__name__}: {e}"
+        finally:
+            for r in batch:
+                r.event.set()
+
+    def _batch_loop(self):
+        from vct_tpu.data.collate import fit_time_axis
+
         max_t = self.cfg.tpu.max_frames
+        # One decode stays in flight: under load, group i+1 is collected and
+        # LAUNCHED before group i's tokens are fetched, hiding the fetch
+        # round trip (~35 ms on a relay-attached TPU) behind device compute
+        # — the serving-side analogue of decode.pipelined_map. When traffic
+        # pauses, the in-flight group is finished within ~1 ms.
+        inflight = None
         while not self._stop.is_set():
             try:
-                first = self._queue.get(timeout=0.1)
+                first = self._queue.get(timeout=0.001 if inflight else 0.1)
             except queue.Empty:
+                if inflight is not None:
+                    self._finish(*inflight)
+                    inflight = None
                 continue
             batch: List[_Request] = [first]
             deadline = time.monotonic() + self.batch_timeout
@@ -214,17 +240,16 @@ class CaptionService:
                     feats_l.append(self._jnp.asarray(np.stack(fs + (fs[0],) * pad)))
                     masks_l.append(self._jnp.asarray(np.stack(ms + (ms[0],) * pad)))
                 tokens, _ = self.decode_fn(self.variables, feats_l, masks_l)
-                captions = detokenize_batch(self.tokenizer, tokens)[:n]
-                for r, c in zip(batch, captions):
-                    r.caption = c
-                self.stats["requests"] += n
-                self.stats["batches"] += 1
             except Exception as e:  # noqa: BLE001 - propagate per request
                 for r in batch:
                     r.error = f"{type(e).__name__}: {e}"
-            finally:
-                for r in batch:
                     r.event.set()
+                continue
+            if inflight is not None:
+                self._finish(*inflight)
+            inflight = (batch, tokens, n)
+        if inflight is not None:
+            self._finish(*inflight)
 
 
 def make_handler(service: CaptionService):
