@@ -129,3 +129,114 @@ def test_two_d_mesh_model_axis():
     l2 = jax.tree_util.tree_leaves(state2.params)
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def _setup_tp(mesh):
+    """Like _setup but with REAL tensor parallelism: fused loss off (TP
+    shards the [N, V] logits instead) and TP param shardings applied."""
+    import dataclasses
+
+    from vct_tpu.parallel.mesh import shard_train_state
+
+    cfg = small_config()
+    model = MMT4Caption(cfg)
+    model = MMT4Caption(cfg, dataclasses.replace(model.tpu, use_fused_loss=False))
+    rng = np.random.default_rng(0)
+    feats = [rng.standard_normal((B, T, D_FEAT)).astype(np.float32)]
+    masks = [np.zeros((B, T), dtype=bool)]
+    caps = rng.integers(3, VOCAB, (B, S)).astype(np.int32)
+    caps[:, 0] = 2
+    caps[:, -1] = 1
+    batch = {
+        "feats": [jnp.asarray(f) for f in feats],
+        "masks": [jnp.asarray(m) for m in masks],
+        "token_ids": jnp.asarray(caps),
+        "token_mask": jnp.asarray(caps == 0),
+    }
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["feats"], batch["masks"],
+        batch["token_ids"], batch["token_mask"], method=MMT4Caption.caption_loss,
+    )
+    tcfg = TrainConfig.from_dict(
+        {"task": "caption", "optimizer": {"name": "adam", "learning_rate": 1e-3}}
+    )
+    opt = build_optimizer(tcfg, variables["params"])
+    state = shard_train_state(mesh, make_train_state(variables, opt))
+    step = make_train_step(model, opt, "caption")
+    batch = shard_batch_arrays(mesh, batch)
+    return step, state, batch
+
+
+def test_tensor_parallel_params_actually_sharded():
+    mesh = make_mesh(4, 2)
+    _, state, _ = _setup_tp(mesh)
+    gen_k = state.params["cap_decoder"]["generator"]["kernel"]
+    # vocab columns split over 'model': each shard holds V/2 columns
+    assert {s.data.shape[1] for s in gen_k.addressable_shards} == {VOCAB // 2}
+    lin1 = state.params["cap_decoder"]["decoder"]["layers_0"]["linear1"]["kernel"]
+    assert {s.data.shape[1] for s in lin1.addressable_shards} == {lin1.shape[1] // 2}
+    lin2 = state.params["cap_decoder"]["decoder"]["layers_0"]["linear2"]["kernel"]
+    assert {s.data.shape[0] for s in lin2.addressable_shards} == {lin2.shape[0] // 2}
+    # optimizer moments mirror the param shardings (same path suffix):
+    # find the adam mu leaf for the generator kernel wherever the
+    # multi_transform wrapper put it
+    target = None
+    for path, leaf in jax.tree_util.tree_leaves_with_path(state.opt_state):
+        names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+        if "mu" in names and names[-2:] == ["generator", "kernel"]:
+            target = leaf
+            break
+    assert target is not None, "no adam mu leaf for generator/kernel"
+    assert {s.data.shape[1] for s in target.addressable_shards} == {VOCAB // 2}
+
+
+def test_tensor_parallel_matches_replicated():
+    """Three dp x tp train steps produce the same losses and parameters as
+    the same model with replicated params on the same mesh shape — GSPMD's
+    collectives implement, not change, the math."""
+    import dataclasses
+
+    from vct_tpu.parallel.mesh import shard_train_state  # noqa: F401
+
+    mesh = make_mesh(4, 2)
+    step_tp, state_tp, batch_tp = _setup_tp(mesh)
+
+    # replicated twin: identical model (fused loss off) and init
+    cfg = small_config()
+    model = MMT4Caption(cfg)
+    model = MMT4Caption(cfg, dataclasses.replace(model.tpu, use_fused_loss=False))
+    rng = np.random.default_rng(0)
+    feats = [rng.standard_normal((B, T, D_FEAT)).astype(np.float32)]
+    masks = [np.zeros((B, T), dtype=bool)]
+    caps = rng.integers(3, VOCAB, (B, S)).astype(np.int32)
+    caps[:, 0] = 2
+    caps[:, -1] = 1
+    batch = {
+        "feats": [jnp.asarray(f) for f in feats],
+        "masks": [jnp.asarray(m) for m in masks],
+        "token_ids": jnp.asarray(caps),
+        "token_mask": jnp.asarray(caps == 0),
+    }
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["feats"], batch["masks"],
+        batch["token_ids"], batch["token_mask"], method=MMT4Caption.caption_loss,
+    )
+    tcfg = TrainConfig.from_dict(
+        {"task": "caption", "optimizer": {"name": "adam", "learning_rate": 1e-3}}
+    )
+    opt = build_optimizer(tcfg, variables["params"])
+    state_rep = replicate(mesh, make_train_state(variables, opt))
+    step_rep = make_train_step(model, opt, "caption")
+    batch_rep = shard_batch_arrays(mesh, batch)
+
+    for _ in range(3):
+        state_tp, m_tp = step_tp(state_tp, batch_tp)
+        state_rep, m_rep = step_rep(state_rep, batch_rep)
+        np.testing.assert_allclose(
+            float(m_tp["loss"]), float(m_rep["loss"]), rtol=2e-5)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(state_tp.params)),
+        jax.tree_util.tree_leaves(jax.device_get(state_rep.params)),
+    ):
+        np.testing.assert_allclose(a, b, atol=1e-3)

@@ -8,13 +8,14 @@ gradient all-reduce inside ``backward()`` and explicit ``dist.all_reduce`` /
 ``train.py:218,129,246``). On TPU none of that machinery survives:
 
 * one process sees the whole ``jax.sharding.Mesh``; axes ``('data', 'model')``
-  — ``data`` is the DDP-equivalent axis, ``model`` is reserved for tensor
-  parallelism (size 1 at this model scale, but every sharding below is
-  written against the 2-D mesh so scaling it up is a config change),
+  — ``data`` is the DDP-equivalent axis, ``model`` carries tensor
+  parallelism (``tpu.mesh_model``; Megatron FFN split + vocab-sharded LM
+  head via ``_TP_RULES`` below),
 * the *global* batch is laid out with ``NamedSharding(P('data'))``; GSPMD
   splits it across devices and inserts the gradient ``psum`` over ICI
   automatically when the jitted train step averages the loss,
-* parameters are replicated (``P()``) exactly like DDP replicas,
+* parameters and optimizer moments are placed by ``shard_train_state``:
+  replicated like DDP replicas at ``model=1``, TP-sharded otherwise,
 * there are no barriers: XLA's dataflow is the synchronization.
 
 Multi-chip correctness is exercised on a virtual 8-device CPU mesh in
@@ -61,3 +62,64 @@ def shard_batch_arrays(mesh: Mesh, tree: Any) -> Any:
 def replicate(mesh: Mesh, tree: Any) -> Any:
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+# ---------------------------------------------------------------------------
+# tensor parallelism over the 'model' axis
+# ---------------------------------------------------------------------------
+
+# Megatron-style shardings (Shoeybi et al. 2019; the scaling-book recipe):
+# FFN column-split linear1 / row-split linear2 — the GELU between them stays
+# local and GSPMD inserts ONE reduce after linear2 — plus a vocab-sharded
+# LM head (each chip scores V/model tokens; the softmax/logsumexp reduction
+# rides a psum over 'model'). Attention and embeddings stay replicated: at
+# this model scale (E=768, H=8) head-splitting buys less than its collective
+# costs, and the [V, E] embedding is 23 MB. Matched by path suffix so the
+# SAME rules cover params and their optimizer moments (mu/nu mirror the
+# param tree). Rules only fire when the sharded dim divides evenly.
+_TP_RULES = (
+    (("generator", "kernel"), P(None, "model")),
+    (("generator", "bias"), P("model")),
+    (("linear1", "kernel"), P(None, "model")),
+    (("linear1", "bias"), P("model")),
+    (("linear2", "kernel"), P("model", None)),
+)
+
+
+def _path_names(path) -> tuple:
+    names = []
+    for p in path:
+        if hasattr(p, "key"):
+            names.append(str(p.key))
+        elif hasattr(p, "name"):
+            names.append(str(p.name))
+    return tuple(names)
+
+
+def tp_spec(path_names: tuple, leaf, model_size: int) -> P:
+    """PartitionSpec for one param/moment leaf under 'model'-axis TP."""
+    if model_size <= 1 or not hasattr(leaf, "ndim"):
+        return P()
+    for suffix, spec in _TP_RULES:
+        if path_names[-len(suffix):] == suffix and leaf.ndim == len(spec):
+            divisible = all(
+                leaf.shape[i] % model_size == 0
+                for i, ax in enumerate(spec)
+                if ax == "model"
+            )
+            if divisible:
+                return spec
+    return P()
+
+
+def shard_train_state(mesh: Mesh, state: Any) -> Any:
+    """device_put a train-state (or variables) pytree for the 2-D mesh:
+    TP rules over 'model' for params and optimizer moments, everything else
+    replicated. Degenerates to ``replicate`` when the model axis is 1."""
+    model_size = mesh.shape.get("model", 1)
+
+    def put(path, leaf):
+        spec = tp_spec(_path_names(path), leaf, model_size)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, state)

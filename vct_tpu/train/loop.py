@@ -39,7 +39,7 @@ from vct_tpu.decode import (
 )
 from vct_tpu.evalcap.scorer import COCOScorer, make_coco_sample
 from vct_tpu.models.mmt4caption import MMT4Caption
-from vct_tpu.parallel.mesh import make_mesh, replicate, shard_batch_arrays
+from vct_tpu.parallel.mesh import make_mesh, shard_batch_arrays, shard_train_state
 from vct_tpu.text.tokenizer import CaptionPreprocessor, make_tokenizer
 from vct_tpu.train.earlystop import EarlyStopping
 from vct_tpu.train.optimizers import (
@@ -104,7 +104,16 @@ class Trainer:
         model_cfg = cfg.model
         if model_cfg.vocab_size != self.tokenizer.vocab_size:
             model_cfg = dataclasses.replace(model_cfg, vocab_size=self.tokenizer.vocab_size)
-        self.model = MMT4Caption(model_cfg, cfg.tpu, dtype=_dtype(cfg.tpu.dtype))
+        tpu_cfg = cfg.tpu
+        if tpu_cfg.mesh_model > 1 and tpu_cfg.use_fused_loss:
+            # the vocab-chunked fused loss slices the generator kernel, which
+            # under vocab-sharded TP would gather the shards back every chunk;
+            # the materialized-logits path lets GSPMD keep the [N, V] logits
+            # sharded over 'model' and psum only the reductions
+            self.log("mesh_model > 1: disabling the fused LM-head loss in "
+                     "favor of GSPMD vocab-sharded logits")
+            tpu_cfg = dataclasses.replace(tpu_cfg, use_fused_loss=False)
+        self.model = MMT4Caption(model_cfg, tpu_cfg, dtype=_dtype(cfg.tpu.dtype))
 
         self.mesh = mesh or make_mesh(cfg.tpu.mesh_data, cfg.tpu.mesh_model)
         self.variables = self._init_variables()
@@ -124,7 +133,7 @@ class Trainer:
         self.scheduler = build_scheduler(cfg.train)
         self.state = make_train_state(self.variables, self.optimizer, seed=cfg.tpu.seed)
         self.state = jax.tree_util.tree_map(lambda x: x, self.state)  # materialize
-        self.state = replicate(self.mesh, self.state)
+        self.state = shard_train_state(self.mesh, self.state)
 
         self.train_step = make_train_step(self.model, self.optimizer, self.task)
         self.val_step = make_eval_step(self.model, self.task)
@@ -332,7 +341,7 @@ class Trainer:
         self.state, self.start_epoch, run_ctl = restore_checkpoint(
             path, jax.device_get(self.state), run_ctl_template=self._run_ctl()
         )
-        self.state = replicate(self.mesh, self.state)
+        self.state = shard_train_state(self.mesh, self.state)
         if run_ctl is not None:
             self.earlystop.load_state_dict(
                 {k[3:]: v for k, v in run_ctl.items() if k.startswith("es_")}
