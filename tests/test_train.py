@@ -473,3 +473,19 @@ def test_val_loss_batching_invariant(task):
                 with_filler[k], one[k], rtol=2e-5,
                 err_msg=f"batching changed {k}",
             )
+
+
+def test_trainer_explicit_tp_mesh(workspace):
+    """A Trainer handed an explicit (4, 2) TP mesh must behave like the same
+    shape requested through cfg.tpu.mesh_*: fused loss off (vocab-chunked
+    slices of a sharded kernel would gather per chunk), Pallas attention off
+    (Mosaic kernels are single-device programs), and the step must run."""
+    from vct_tpu.parallel.mesh import make_mesh
+    from vct_tpu.train.loop import Trainer
+
+    tr = Trainer(make_config(workspace), mesh=make_mesh(4, 2),
+                 log=lambda *_: None)
+    assert not tr.model.tpu.use_fused_loss
+    assert not tr.model.tpu.use_pallas_attention
+    loss = tr.train_epoch(0)
+    assert np.isfinite(loss)

@@ -104,18 +104,30 @@ class Trainer:
         model_cfg = cfg.model
         if model_cfg.vocab_size != self.tokenizer.vocab_size:
             model_cfg = dataclasses.replace(model_cfg, vocab_size=self.tokenizer.vocab_size)
+
+        # the mesh decides kernel/loss dispatch below, so build it first —
+        # an explicitly-passed mesh must behave exactly like the same shape
+        # requested through cfg.tpu.mesh_*
+        self.mesh = mesh or make_mesh(cfg.tpu.mesh_data, cfg.tpu.mesh_model)
+        tp = self.mesh.shape.get("model", 1)
         tpu_cfg = cfg.tpu
-        if tpu_cfg.mesh_model > 1 and tpu_cfg.use_fused_loss:
+        if tp > 1 and tpu_cfg.use_fused_loss:
             # the vocab-chunked fused loss slices the generator kernel, which
             # under vocab-sharded TP would gather the shards back every chunk;
             # the materialized-logits path lets GSPMD keep the [N, V] logits
             # sharded over 'model' and psum only the reductions
-            self.log("mesh_model > 1: disabling the fused LM-head loss in "
+            self.log("model-axis > 1: disabling the fused LM-head loss in "
                      "favor of GSPMD vocab-sharded logits")
             tpu_cfg = dataclasses.replace(tpu_cfg, use_fused_loss=False)
+        if self.mesh.size > 1 and tpu_cfg.use_pallas_attention:
+            # Mosaic kernels cannot be auto-partitioned inside a multi-device
+            # jit (jax raises at lowering unless the call is shard_map-ped,
+            # which these kernels are not yet); multi-chip training runs the
+            # XLA attention path, which GSPMD shards freely
+            self.log("multi-device mesh: routing attention through XLA "
+                     "(Pallas kernels are single-device programs)")
+            tpu_cfg = dataclasses.replace(tpu_cfg, use_pallas_attention=False)
         self.model = MMT4Caption(model_cfg, tpu_cfg, dtype=_dtype(cfg.tpu.dtype))
-
-        self.mesh = mesh or make_mesh(cfg.tpu.mesh_data, cfg.tpu.mesh_model)
         self.variables = self._init_variables()
         if cfg.model.caption_decoder.univl:
             # UniVL decoder import before pretrained_model, the reference's
@@ -143,7 +155,7 @@ class Trainer:
                 self.tokenizer.start_id, self.tokenizer.end_id,
                 cfg.tpu.beam_size,
             )
-        elif self.mesh.shape["data"] == 1:
+        elif self.mesh.size == 1:
             # single-chip eval decoding rides the fused Pallas kernels on TPU
             from vct_tpu.decode import make_auto_greedy_fn
 
@@ -152,7 +164,8 @@ class Trainer:
                 self.tokenizer.start_id, self.tokenizer.end_id,
             )
         else:
-            # multi-chip GSPMD decode shards the module-graph program
+            # multi-chip GSPMD decode (data- and/or model-sharded) runs the
+            # module-graph program — the fused kernels are single-device
             self.greedy_fn = make_greedy_fn(
                 self.model, cfg.test.max_length,
                 self.tokenizer.start_id, self.tokenizer.end_id,
