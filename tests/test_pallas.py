@@ -225,3 +225,77 @@ def test_trainable_bf16_grad_finite(rng):
 
     g = jax.grad(loss)(x)
     assert g.dtype == jnp.bfloat16 and bool(jnp.isfinite(g.astype(jnp.float32)).all())
+
+
+# ---------------------------------------------------------------------------
+# shard_map-ped kernel (multi-device jit)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_sharded_trainable_matches_xla(rng, mesh_shape):
+    """fused_attention_trainable_sharded (the multi-device wrapper) produces
+    the same outputs and gradients as the XLA path, with a batch padding
+    bias (sharded) and under both pure-dp and dp x tp meshes."""
+    from vct_tpu.ops.pallas_attention import fused_attention_trainable_sharded
+    from vct_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(*mesh_shape)
+    b, tq, tk, h, d = 16, 10, 13, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, tq, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, tk, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, tk, h, d)).astype(np.float32))
+    pad = np.zeros((b, tk), dtype=bool)
+    pad[1, -4:] = True
+    bias = padding_bias(jnp.asarray(pad))
+    w = jnp.asarray(rng.standard_normal((b, tq, h, d)).astype(np.float32))
+
+    def loss_ref(q, k, v):
+        out, _ = dot_product_attention(q, k, v, bias)
+        return jnp.sum(out * w)
+
+    def loss_sharded(q, k, v):
+        out = fused_attention_trainable_sharded(
+            mesh, "data", 0.0, True, q, k, v, bias, None)
+        return jnp.sum(out * w)
+
+    np.testing.assert_allclose(
+        float(jax.jit(loss_sharded)(q, k, v)), float(loss_ref(q, k, v)),
+        rtol=2e-5)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_sh = jax.jit(jax.grad(loss_sharded, argnums=(0, 1, 2)))(q, k, v)
+    for a, b_ in zip(g_sh, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5)
+
+
+def test_sharded_trainable_causal_and_dropout(rng):
+    """Replicated causal bias (leading dim 1) + sharded dropout keep mask."""
+    from vct_tpu.ops.pallas_attention import fused_attention_trainable_sharded
+    from vct_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, 1)
+    b, t, h, d = 16, 9, 2, 32
+    rate = 0.3
+    x = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    bias = causal_bias(t)
+    keep = jnp.asarray(rng.random((b, h, t, t)) < 1.0 - rate)
+
+    def loss_ref(x):
+        out = _xla_dropout_attention(x, x, x, bias, keep, rate)
+        return jnp.sum(out ** 2)
+
+    def loss_sharded(x):
+        out = fused_attention_trainable_sharded(
+            mesh, "data", rate, True, x, x, x, bias, keep)
+        return jnp.sum(out ** 2)
+
+    np.testing.assert_allclose(
+        float(jax.jit(loss_sharded)(x)), float(loss_ref(x)), rtol=2e-5)
+    # atol 1e-4: the /(1-rate) dropout rescale amplifies the kernel's fp32
+    # softmax-recompute rounding; the non-sharded dropout-grad test sees the
+    # same scale of noise on its largest elements
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(jax.grad(loss_sharded))(x)),
+        np.asarray(jax.grad(loss_ref)(x)),
+        atol=1e-4,
+    )

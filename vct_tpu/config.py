@@ -316,6 +316,14 @@ class TPUConfig:
     vocab_path: Optional[str] = None
     # Use the Pallas fused-attention kernel when running on TPU.
     use_pallas_attention: bool = True
+    # Keep the Pallas attention kernel on multi-device meshes by shard_map-ing
+    # it over the 'data' axis (Mosaic kernels are single-device programs, so
+    # without this the Trainer falls back to XLA attention when the mesh spans
+    # more than one device). Off by default: correct by construction
+    # (batch-parallel, no collectives) and interpret-mode tested, but this
+    # machine has one chip, so the path has never run on real multi-chip
+    # hardware.
+    pallas_partition_kernels: bool = False
     # Fused LM-head+SCE loss (ops.fused_loss): the [B*S, vocab] logits never
     # exist in HBM on loss-only forwards (train/val steps). Values/gradients
     # match the materialized path to float summation order.

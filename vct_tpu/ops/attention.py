@@ -84,13 +84,29 @@ def dot_product_attention(
     global state, so two models with different settings coexist).
     """
     if use_pallas and _pallas_eligible(q, deterministic, return_weights):
-        from vct_tpu.ops.pallas_attention import fused_attention_trainable
+        from vct_tpu.ops.pallas_attention import (
+            fused_attention_trainable,
+            fused_attention_trainable_sharded,
+        )
+        from vct_tpu.parallel.mesh import get_kernel_mesh
+
+        kernel_mesh = get_kernel_mesh()
+
+        def call(rate, q, k, v, bias, keep):
+            if kernel_mesh is not None and kernel_mesh.size > 1:
+                # multi-device jit: shard_map the kernel over the batch axis
+                # (set via parallel.mesh.set_kernel_mesh when
+                # tpu.pallas_partition_kernels is enabled)
+                return fused_attention_trainable_sharded(
+                    kernel_mesh, "data", rate, False, q, k, v, bias, keep
+                )
+            return fused_attention_trainable(rate, False, q, k, v, bias, keep)
 
         if deterministic:
             # no-dropout path, still differentiable (rate-0 trainable wrapper:
             # same kernel work; residuals are just the input refs). A plain
             # non-vjp kernel here would crash jax.grad of a deterministic loss.
-            return fused_attention_trainable(0.0, False, q, k, v, bias, None), None
+            return call(0.0, q, k, v, bias, None), None
         rate = float(dropout_rate)
         keep = None
         if rate > 0.0:
@@ -102,7 +118,7 @@ def dot_product_attention(
                 dropout_rng, 1.0 - rate,
                 (q.shape[0], q.shape[2], q.shape[1], k.shape[1]),
             )
-        return fused_attention_trainable(rate, False, q, k, v, bias, keep), None
+        return call(rate, q, k, v, bias, keep), None
 
     dtype = q.dtype
     d_head = q.shape[-1]

@@ -362,3 +362,45 @@ def _train_bwd(dropout_rate, interpret, residuals, g):
 
 
 fused_attention_trainable.defvjp(_train_fwd, _train_bwd)
+
+
+def fused_attention_trainable_sharded(
+    mesh, axis, dropout_rate, interpret, q, k, v, bias, keep_mask
+):
+    """``fused_attention_trainable`` inside a multi-device jit.
+
+    Mosaic kernels are single-device programs — XLA refuses to auto-partition
+    a ``pallas_call`` under GSPMD — so this wraps the kernel (custom_vjp and
+    all; shard_map differentiates through it) in a ``shard_map`` over the
+    mesh's batch axis. Attention is embarrassingly parallel over batch:
+    every shard runs the unmodified kernel on its B/n slice, no collectives.
+    Batch-shaped operands shard over ``axis``; broadcast operands (a causal
+    [1, H, Tq, Tk] bias) replicate.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis]
+    b = q.shape[0]
+    if b % n:
+        raise ValueError(f"batch {b} not divisible by mesh axis '{axis}'={n}")
+
+    def bspec(x):
+        lead = axis if x.shape[0] == b else None
+        return P(lead, *([None] * (x.ndim - 1)))
+
+    has_bias, has_keep = bias is not None, keep_mask is not None
+    extras = [x for x in (bias, keep_mask) if x is not None]
+
+    def inner(q, k, v, *rest):
+        it = iter(rest)
+        b_ = next(it) if has_bias else None
+        m_ = next(it) if has_keep else None
+        return fused_attention_trainable(dropout_rate, interpret, q, k, v, b_, m_)
+
+    in_specs = tuple([bspec(q), bspec(k), bspec(v)] + [bspec(x) for x in extras])
+    fn = shard_map(
+        inner, mesh=mesh, in_specs=in_specs,
+        out_specs=P(axis, None, None, None), check_rep=False,
+    )
+    return fn(q, k, v, *extras)

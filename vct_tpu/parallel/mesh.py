@@ -112,6 +112,23 @@ def tp_spec(path_names: tuple, leaf, model_size: int) -> P:
     return P()
 
 
+# Mesh the Pallas kernels should shard_map over when traced inside a
+# multi-device jit (set by the Trainer when tpu.pallas_partition_kernels is
+# on). A registry rather than a per-call argument because the kernels sit at
+# the bottom of the flax module tree, which has no mesh in scope; consulted
+# only at trace time.
+_KERNEL_MESH: Optional[Mesh] = None
+
+
+def set_kernel_mesh(mesh: Optional[Mesh]) -> None:
+    global _KERNEL_MESH
+    _KERNEL_MESH = mesh
+
+
+def get_kernel_mesh() -> Optional[Mesh]:
+    return _KERNEL_MESH
+
+
 def shard_train_state(mesh: Mesh, state: Any) -> Any:
     """device_put a train-state (or variables) pytree for the 2-D mesh:
     TP rules over 'model' for params and optimizer moments, everything else

@@ -120,13 +120,23 @@ class Trainer:
                      "favor of GSPMD vocab-sharded logits")
             tpu_cfg = dataclasses.replace(tpu_cfg, use_fused_loss=False)
         if self.mesh.size > 1 and tpu_cfg.use_pallas_attention:
-            # Mosaic kernels cannot be auto-partitioned inside a multi-device
-            # jit (jax raises at lowering unless the call is shard_map-ped,
-            # which these kernels are not yet); multi-chip training runs the
-            # XLA attention path, which GSPMD shards freely
-            self.log("multi-device mesh: routing attention through XLA "
-                     "(Pallas kernels are single-device programs)")
-            tpu_cfg = dataclasses.replace(tpu_cfg, use_pallas_attention=False)
+            if tpu_cfg.pallas_partition_kernels:
+                # keep the kernel: shard_map it over 'data' at trace time
+                from vct_tpu.parallel.mesh import set_kernel_mesh
+
+                set_kernel_mesh(self.mesh)
+                self.log("multi-device mesh: Pallas attention runs under "
+                         "shard_map over the 'data' axis")
+            else:
+                # Mosaic kernels cannot be auto-partitioned inside a
+                # multi-device jit (jax raises at lowering unless the call is
+                # shard_map-ped); default to the XLA attention path, which
+                # GSPMD shards freely. tpu.pallas_partition_kernels opts into
+                # the shard_map-ped kernel instead.
+                self.log("multi-device mesh: routing attention through XLA "
+                         "(Pallas kernels are single-device programs; set "
+                         "tpu.pallas_partition_kernels to shard_map them)")
+                tpu_cfg = dataclasses.replace(tpu_cfg, use_pallas_attention=False)
         self.model = MMT4Caption(model_cfg, tpu_cfg, dtype=_dtype(cfg.tpu.dtype))
         self.variables = self._init_variables()
         if cfg.model.caption_decoder.univl:
