@@ -181,34 +181,48 @@ def greedy_generate_fused(
 
     emb, pe = fw["emb"], fw["pe"]
 
-    def cond(state):
-        i, _, done, _, _ = state
-        return jnp.logical_and(i < max_len - 1, ~jnp.all(done))
+    def make_cond(hi):
+        def cond(state):
+            i, _, done, _, _ = state
+            return jnp.logical_and(i < hi, ~jnp.all(done))
+        return cond
 
-    def body(state):
-        i, tokens, done, ks, vs = state
-        cur = jax.lax.dynamic_slice_in_dim(tokens, i, 1, axis=1)[:, 0]
-        x = jnp.take(emb, cur, axis=0)
-        x = jnp.where((cur == pad_id)[:, None], 0.0, x)
-        x = x + jax.lax.dynamic_slice_in_dim(pe, i, 1, axis=0)
-        x = x.astype(dt)
-        x, ks, vs = fused_layers_step(
-            x, ks, vs, cks, cvs, mem_bias, fw["stacked"], i,
-            heads=heads, block_b=block_b, interpret=interpret,
-        )
-        nxt = fused_norm_generator_argmax(
-            x, fw["norm_s"], fw["norm_b"], fw["wg"], fw["bg"],
-            block_v=block_v, interpret=interpret,
-        )
-        tokens = jax.lax.dynamic_update_slice_in_dim(
-            tokens, nxt[:, None], i + 1, axis=1
-        )
-        done = jnp.logical_or(done, nxt == end_id)
-        return i + 1, tokens, done, ks, vs
+    def make_body(l_view):
+        def body(state):
+            i, tokens, done, ks, vs = state
+            cur = jax.lax.dynamic_slice_in_dim(tokens, i, 1, axis=1)[:, 0]
+            x = jnp.take(emb, cur, axis=0)
+            x = jnp.where((cur == pad_id)[:, None], 0.0, x)
+            x = x + jax.lax.dynamic_slice_in_dim(pe, i, 1, axis=0)
+            x = x.astype(dt)
+            x, ks, vs = fused_layers_step(
+                x, ks, vs, cks, cvs, mem_bias, fw["stacked"], i,
+                heads=heads, block_b=block_b, l_view=l_view,
+                interpret=interpret,
+            )
+            nxt = fused_norm_generator_argmax(
+                x, fw["norm_s"], fw["norm_b"], fw["wg"], fw["bg"],
+                block_v=block_v, interpret=interpret,
+            )
+            tokens = jax.lax.dynamic_update_slice_in_dim(
+                tokens, nxt[:, None], i + 1, axis=1
+            )
+            done = jnp.logical_or(done, nxt == end_id)
+            return i + 1, tokens, done, ks, vs
+        return body
 
-    _, tokens, _, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), tokens, done, ks, vs)
-    )
+    # Stage the loop through growing cache windows: steps [lo, hi) only ever
+    # attend rows 0..hi-1, so the kernel reads an 8-row-aligned window
+    # instead of all L rows — bit-exact (masked rows carry exactly-zero
+    # weight) and it cuts the self-cache HBM stream, the per-step bandwidth
+    # bottleneck, by ~38% averaged over a 30-token decode.
+    state = (jnp.asarray(0, jnp.int32), tokens, done, ks, vs)
+    hi = 0
+    while hi < max_len - 1:
+        hi = min(hi + 8, max_len - 1)
+        l_view = min(_round_up(hi, 8), l_pad)
+        state = jax.lax.while_loop(make_cond(hi), make_body(l_view), state)
+    _, tokens, _, _, _ = state
     return tokens, None
 
 

@@ -371,6 +371,7 @@ def fused_layers_step(
     *,
     heads: int,
     block_b: int = 64,
+    l_view: Optional[int] = None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """The WHOLE decoder stack's decode step in one pallas_call ->
@@ -383,9 +384,19 @@ def fused_layers_step(
     within v5e's 128 MB with double buffering. block_b=128 would double the
     tile traffic and overflow; 64 measures as fast (the launch count, not the
     tile size, was the bottleneck being removed here).
+
+    ``l_view`` (multiple of 8, > idx) reads only the first l_view cache rows:
+    rows past ``idx`` carry exactly-zero attention weight (their NEG_INF
+    causal bias underflows exp to 0.0 in fp32), so shrinking the window is
+    bit-exact while cutting the dominant HBM stream — the decode loop stages
+    its steps through growing windows instead of always streaming all L rows.
+    The fresh row still writes through the full-array aliased output block.
     """
     b, e = x.shape
     nl, l = k_cache.shape[0], k_cache.shape[1]
+    if l_view is not None:
+        assert l_view % 8 == 0 and 0 < l_view <= l, (l_view, l)
+        l = l_view
     tm = ck.shape[1]
     f = weights["w1"].shape[-1]
     bt = min(block_b, b)
