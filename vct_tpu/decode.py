@@ -254,9 +254,10 @@ def make_greedy_fn(model: MMT4Caption, max_len: int, start_id: int, end_id: int,
 def make_auto_greedy_fn(model: MMT4Caption, max_len: int, start_id: int,
                         end_id: int, collect_attn: bool = False) -> Callable:
     """Greedy decode on the fastest eligible path: the fused Pallas decode
-    kernels on TPU (``vct_tpu.decode_fast``; 12.9k vs 7.2k captions/s/chip
-    measured at B=1024), falling back to the module-graph program off-TPU,
-    for attention collection, or for batch sizes the kernels can't tile."""
+    kernels on TPU (``vct_tpu.decode_fast``; 27.5k vs 8.4k captions/s/chip
+    measured steady-state at B=2048), falling back to the module-graph
+    program off-TPU, for attention collection, or for batch sizes the
+    kernels can't tile."""
     module_fn = make_greedy_fn(model, max_len, start_id, end_id,
                                collect_attn=collect_attn)
     if (
