@@ -82,6 +82,7 @@ class CapDecoder(nn.Module):
     quirk_no_memory_mask: bool = False
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    partition_kernels: bool = False
     # Fused LM-head+loss (ops.fused_loss): applies on loss-only forwards —
     # the [B*S, vocab] logits never exist in HBM. Same values/grads to float
     # summation order (tests/test_fused_loss.py).
@@ -98,6 +99,7 @@ class CapDecoder(nn.Module):
             self.activation,
             self.dtype,
             use_pallas=self.use_pallas,
+            partition_kernels=self.partition_kernels,
             name="decoder",
         )
         self.generator = LMHead(

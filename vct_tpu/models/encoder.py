@@ -69,6 +69,7 @@ class _MMEBase(nn.Module):
     quirk_unmasked_agg: bool = False
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    partition_kernels: bool = False
 
     @property
     def num_modal(self) -> int:
@@ -152,6 +153,7 @@ class MultiModalEncoder(_MMEBase):
             self.activation,
             self.dtype,
             use_pallas=self.use_pallas,
+                partition_kernels=self.partition_kernels,
             name="transformer_encoder",
         )
 
@@ -190,6 +192,7 @@ class HMMEncoder(_MMEBase):
                 self.activation,
                 self.dtype,
                 use_pallas=self.use_pallas,
+                partition_kernels=self.partition_kernels,
                 name=f"trans_enc_layers_{i}",
             )
             for i in range(depth)
@@ -242,6 +245,7 @@ class SimpleSepEncoder(nn.Module):
     num_encoder_layers: int = 1
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    partition_kernels: bool = False
 
     @property
     def num_modal(self) -> int:
@@ -262,6 +266,7 @@ class SimpleSepEncoder(nn.Module):
                 self.activation,
                 self.dtype,
                 use_pallas=self.use_pallas,
+                partition_kernels=self.partition_kernels,
                 name=f"transformer_encoders_{i}",
             )
             for i in range(self.num_modal)

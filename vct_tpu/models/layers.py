@@ -53,6 +53,9 @@ class MultiHeadAttention(nn.Module):
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
     use_pallas: bool = False  # fused kernel on the no-grad TPU path
+    # consult the shard_map kernel-mesh registry (parallel.mesh) when a
+    # multi-device mesh is registered; per-model like use_pallas
+    partition_kernels: bool = False
 
     def setup(self):
         e = self.embed_dim
@@ -109,6 +112,7 @@ class MultiHeadAttention(nn.Module):
             deterministic=deterministic,
             return_weights=return_weights,
             use_pallas=self.use_pallas,
+            partition_kernels=self.partition_kernels,
         )
         b, t, _, _ = out.shape
         out = self.out_proj(out.reshape(b, t, self.embed_dim))
@@ -144,12 +148,14 @@ class TransformerEncoderLayer(nn.Module):
     activation: str = "gelu"
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    partition_kernels: bool = False
 
     def setup(self):
         mk = dict(dtype=self.dtype, param_dtype=jnp.float32)
         self.self_attn = MultiHeadAttention(
             self.embed_dim, self.num_heads, self.dropout_rate, self.dtype,
-            use_pallas=self.use_pallas, name="self_attn"
+            use_pallas=self.use_pallas,
+            partition_kernels=self.partition_kernels, name="self_attn"
         )
         self.linear1 = nn.Dense(self.dim_feedforward, name="linear1", **mk)
         self.linear2 = nn.Dense(self.embed_dim, name="linear2", **mk)
@@ -186,6 +192,7 @@ class TransformerEncoder(nn.Module):
     activation: str = "gelu"
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    partition_kernels: bool = False
 
     def setup(self):
         self.layers = [
@@ -197,6 +204,7 @@ class TransformerEncoder(nn.Module):
                 self.activation,
                 self.dtype,
                 use_pallas=self.use_pallas,
+                partition_kernels=self.partition_kernels,
                 name=f"layers_{i}",
             )
             for i in range(self.num_layers)
@@ -233,16 +241,19 @@ class TransformerDecoderLayer(nn.Module):
     activation: str = "gelu"
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    partition_kernels: bool = False
 
     def setup(self):
         mk = dict(dtype=self.dtype, param_dtype=jnp.float32)
         self.self_attn = MultiHeadAttention(
             self.embed_dim, self.num_heads, self.dropout_rate, self.dtype,
-            use_pallas=self.use_pallas, name="self_attn"
+            use_pallas=self.use_pallas,
+            partition_kernels=self.partition_kernels, name="self_attn"
         )
         self.multihead_attn = MultiHeadAttention(
             self.embed_dim, self.num_heads, self.dropout_rate, self.dtype,
-            use_pallas=self.use_pallas, name="multihead_attn"
+            use_pallas=self.use_pallas,
+            partition_kernels=self.partition_kernels, name="multihead_attn"
         )
         self.linear1 = nn.Dense(self.dim_feedforward, name="linear1", **mk)
         self.linear2 = nn.Dense(self.embed_dim, name="linear2", **mk)
@@ -337,6 +348,7 @@ class TransformerDecoder(nn.Module):
     activation: str = "gelu"
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    partition_kernels: bool = False
 
     def setup(self):
         self.layers = [
@@ -348,6 +360,7 @@ class TransformerDecoder(nn.Module):
                 self.activation,
                 self.dtype,
                 use_pallas=self.use_pallas,
+                partition_kernels=self.partition_kernels,
                 name=f"layers_{i}",
             )
             for i in range(self.num_layers)

@@ -67,6 +67,7 @@ class MMT4Caption(nn.Module):
             activation=cfg.activation,
             dtype=self.dtype,
             use_pallas=self.tpu.use_pallas_attention,
+            partition_kernels=self.tpu.pallas_partition_kernels,
         )
         if ve.type == "simple":
             self.video_encoder = SimpleSepEncoder(
@@ -106,6 +107,7 @@ class MMT4Caption(nn.Module):
             activation=cfg.activation,
             quirk_no_memory_mask=self.tpu.quirk_no_memory_mask_in_decoder,
             use_pallas=self.tpu.use_pallas_attention,
+            partition_kernels=self.tpu.pallas_partition_kernels,
             use_fused_loss=self.tpu.use_fused_loss,
             name="cap_decoder",
         )

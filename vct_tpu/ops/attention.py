@@ -75,22 +75,30 @@ def dot_product_attention(
     deterministic: bool = True,
     return_weights: bool = False,
     use_pallas: bool = False,
+    partition_kernels: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Attention over [B, T, H, D] tensors.
 
     Returns (output [B, Tq, H, D], weights [B, H, Tq, Tk] mean-ready or None).
-    ``use_pallas`` opts the no-dropout inference path into the fused kernel
-    (threaded down from ``TPUConfig.use_pallas_attention`` per model — never
-    global state, so two models with different settings coexist).
+    ``use_pallas`` opts the hot path into the fused kernel,
+    ``partition_kernels`` additionally opts it into the shard_map wrapper
+    when a multi-device mesh is registered — both threaded down from
+    ``TPUConfig`` per model, so two models with different settings coexist.
+    The kernel-mesh registry (``parallel.mesh.set_kernel_mesh``) is the only
+    ambient state and is consulted ONLY by models that set
+    ``partition_kernels``; models that never opted in are unaffected by it.
     """
     if use_pallas and _pallas_eligible(q, deterministic, return_weights):
         from vct_tpu.ops.pallas_attention import (
             fused_attention_trainable,
             fused_attention_trainable_sharded,
         )
-        from vct_tpu.parallel.mesh import get_kernel_mesh
 
-        kernel_mesh = get_kernel_mesh()
+        kernel_mesh = None
+        if partition_kernels:
+            from vct_tpu.parallel.mesh import get_kernel_mesh
+
+            kernel_mesh = get_kernel_mesh()
 
         def call(rate, q, k, v, bias, keep):
             if kernel_mesh is not None and kernel_mesh.size > 1:

@@ -116,7 +116,12 @@ def tp_spec(path_names: tuple, leaf, model_size: int) -> P:
 # multi-device jit (set by the Trainer when tpu.pallas_partition_kernels is
 # on). A registry rather than a per-call argument because the kernels sit at
 # the bottom of the flax module tree, which has no mesh in scope; consulted
-# only at trace time.
+# only at trace time, and ONLY by models whose TPUConfig sets
+# pallas_partition_kernels — models that never opted in are unaffected.
+# Last-set-wins: two concurrently-traced opted-in Trainers with different
+# meshes would clobber each other (don't do that in one process), and the
+# registry is not part of the jit cache key, so re-register before
+# re-tracing an opted-in model against a different mesh.
 _KERNEL_MESH: Optional[Mesh] = None
 
 
