@@ -39,9 +39,11 @@ def _init(model, rng):
 
 
 @pytest.mark.parametrize("quirk", [False, True])
-def test_fused_greedy_token_exact(rng, quirk):
-    """The 5-kernel fused decode must reproduce the module-graph greedy's
-    token ids exactly (fp32; padded memory exercises the mem-bias path)."""
+@pytest.mark.parametrize("single_kernel", [False, True])
+def test_fused_greedy_token_exact(rng, quirk, single_kernel):
+    """The fused decode (two-kernel tiled path AND the small-batch
+    whole-step kernel) must reproduce the module-graph greedy's token ids
+    exactly (fp32; padded memory exercises the mem-bias path)."""
     model = _model(quirk=quirk)
     feats, masks, variables = _init(model, rng)
     ref_tokens, _ = greedy_generate(
@@ -49,7 +51,7 @@ def test_fused_greedy_token_exact(rng, quirk):
     )
     fused_tokens, _ = greedy_generate_fused(
         model, variables, feats, masks, max_len=MAX_LEN, start_id=2, end_id=-1,
-        block_b=2, block_v=256, interpret=True,
+        block_b=2, block_v=256, single_kernel=single_kernel, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(fused_tokens), np.asarray(ref_tokens))
 
@@ -64,7 +66,7 @@ def test_fused_greedy_early_stop(rng):
     )
     fused_tokens, _ = greedy_generate_fused(
         model, variables, feats, masks, max_len=MAX_LEN, start_id=2, end_id=7,
-        block_b=2, block_v=256, interpret=True,
+        block_b=2, block_v=256, single_kernel=True, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(fused_tokens), np.asarray(ref_tokens))
 
@@ -77,7 +79,7 @@ def test_fused_greedy_three_layers(rng):
     )
     fused_tokens, _ = greedy_generate_fused(
         model, variables, feats, masks, max_len=8, start_id=2, end_id=-1,
-        block_b=4, block_v=256, interpret=True,
+        block_b=4, block_v=256, single_kernel=False, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(fused_tokens), np.asarray(ref_tokens))
 

@@ -26,6 +26,7 @@ from vct_tpu.models.mmt4caption import MMT4Caption
 from vct_tpu.ops.pallas_decode import (
     fused_layers_step,
     fused_norm_generator_argmax,
+    fused_whole_step,
 )
 
 NEG_INF = -1e30
@@ -122,18 +123,27 @@ def greedy_generate_fused(
     pad_id: int = 0,
     block_b: Optional[int] = None,
     block_v: int = 1024,
+    single_kernel: Optional[bool] = None,
     interpret: bool = False,
 ):
     """-> (tokens [B, max_len] int32, None) — fused-kernel greedy decode.
     ``block_b=None`` picks the largest legal batch tile (64 for the stacked
-    whole-decoder kernel; 128 overflows VMEM — see ``pick_block_b``)."""
+    whole-decoder kernel; 128 overflows VMEM — see ``pick_block_b``).
+    ``single_kernel=None`` auto-selects the whole-step kernel (stack +
+    generator + argmax in ONE launch, ``fused_whole_step``) for small
+    batches (<= 64), where the generator weight fits in VMEM and launch
+    count dominates — at B=1 it nearly halves single-video latency."""
     b_in = video_feats[0].shape[0]
+    if single_kernel is None:
+        single_kernel = b_in <= 64
     if block_b is None:
-        block_b = pick_block_b(b_in)
+        block_b = pick_block_b(b_in, cap=32 if single_kernel else 64)
         if block_b is None:
             raise ValueError(
                 f"fused decode needs batch % 8 == 0 or batch <= 8; got {b_in}"
             )
+    if single_kernel:
+        block_b = min(block_b, 32)
     fw = extract_fast_weights(model, variables, block_v=block_v)
     heads = fw["heads"]
     e = model.config.embed_dim
@@ -195,15 +205,22 @@ def greedy_generate_fused(
             x = jnp.where((cur == pad_id)[:, None], 0.0, x)
             x = x + jax.lax.dynamic_slice_in_dim(pe, i, 1, axis=0)
             x = x.astype(dt)
-            x, ks, vs = fused_layers_step(
-                x, ks, vs, cks, cvs, mem_bias, fw["stacked"], i,
-                heads=heads, block_b=block_b, l_view=l_view,
-                interpret=interpret,
-            )
-            nxt = fused_norm_generator_argmax(
-                x, fw["norm_s"], fw["norm_b"], fw["wg"], fw["bg"],
-                block_v=block_v, interpret=interpret,
-            )
+            if single_kernel:
+                nxt, ks, vs = fused_whole_step(
+                    x, ks, vs, cks, cvs, mem_bias, fw, i,
+                    heads=heads, block_b=block_b, l_view=l_view,
+                    interpret=interpret,
+                )
+            else:
+                x, ks, vs = fused_layers_step(
+                    x, ks, vs, cks, cvs, mem_bias, fw["stacked"], i,
+                    heads=heads, block_b=block_b, l_view=l_view,
+                    interpret=interpret,
+                )
+                nxt = fused_norm_generator_argmax(
+                    x, fw["norm_s"], fw["norm_b"], fw["wg"], fw["bg"],
+                    block_v=block_v, interpret=interpret,
+                )
             tokens = jax.lax.dynamic_update_slice_in_dim(
                 tokens, nxt[:, None], i + 1, axis=1
             )

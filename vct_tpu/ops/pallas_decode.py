@@ -303,26 +303,21 @@ def fused_layer_step(
 # ---------------------------------------------------------------------------
 
 
-def _layers_step_kernel(
-    # scalar prefetch
-    idx_ref,
-    # tensor inputs (stacked on a leading layer axis)
-    x_ref, k_ref, v_ref, ck_ref, cv_ref, membias_ref, sel_ref, selt_ref,
+def _stack_layers(
+    idx, x_ref, k_ref, v_ref, ck_ref, cv_ref, membias_ref, sel_ref, selt_ref,
     wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     wcq_ref, bcq_ref, wco_ref, bco_ref,
     n1s_ref, n1b_ref, n2s_ref, n2b_ref,
     w1_ref, b1_ref, w2_ref, b2_ref, n3s_ref, n3b_ref,
-    # outputs
-    xout_ref, krow_ref, vrow_ref,
-    *, heads: int, nl: int,
+    krow_ref, vrow_ref, *, heads: int, nl: int,
 ):
-    """``_layer_step_kernel`` unrolled over all ``nl`` decoder layers — one
-    kernel launch per token instead of one per layer. The layer loop is a
-    static Python unroll (nl is 2-3 for every shipped config), so Mosaic sees
-    straight-line code; per-layer tensors are static leading-axis slices."""
+    """The decoder stack's decode step over in-VMEM refs: ``nl`` layers
+    statically unrolled (nl is 2-3 for every shipped config, so Mosaic sees
+    straight-line code; per-layer tensors are static leading-axis slices),
+    fresh K/V rows written through the one-row aliased output blocks.
+    -> final activations [Bt, E] in the compute dtype."""
     e = x_ref.shape[-1]
     d = e // heads
-    idx = idx_ref[0]
     sel = sel_ref[...]
     selt = selt_ref[...]
     mbias = membias_ref[...].astype(jnp.float32).T
@@ -356,7 +351,68 @@ def _layers_step_kernel(
         h2 = _matmul(h1, w2_ref[li], b2_ref[li], jnp.float32)
         x3 = _layernorm(x2 + h2, n3s_ref[li], n3b_ref[li])
         x = x3.astype(x.dtype)
+    return x
+
+
+def _layers_step_kernel(
+    # scalar prefetch
+    idx_ref,
+    # tensor inputs (stacked on a leading layer axis)
+    x_ref, k_ref, v_ref, ck_ref, cv_ref, membias_ref, sel_ref, selt_ref,
+    wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    wcq_ref, bcq_ref, wco_ref, bco_ref,
+    n1s_ref, n1b_ref, n2s_ref, n2b_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, n3s_ref, n3b_ref,
+    # outputs
+    xout_ref, krow_ref, vrow_ref,
+    *, heads: int, nl: int,
+):
+    x = _stack_layers(
+        idx_ref[0], x_ref, k_ref, v_ref, ck_ref, cv_ref, membias_ref,
+        sel_ref, selt_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+        wcq_ref, bcq_ref, wco_ref, bco_ref,
+        n1s_ref, n1b_ref, n2s_ref, n2b_ref,
+        w1_ref, b1_ref, w2_ref, b2_ref, n3s_ref, n3b_ref,
+        krow_ref, vrow_ref, heads=heads, nl=nl,
+    )
     xout_ref[...] = x.astype(xout_ref.dtype)
+
+
+def _whole_step_kernel(
+    # scalar prefetch
+    idx_ref,
+    # tensor inputs
+    x_ref, k_ref, v_ref, ck_ref, cv_ref, membias_ref, sel_ref, selt_ref,
+    wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    wcq_ref, bcq_ref, wco_ref, bco_ref,
+    n1s_ref, n1b_ref, n2s_ref, n2b_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, n3s_ref, n3b_ref,
+    ns_ref, nb_ref, wg_ref, bg_ref,
+    # outputs
+    tok_ref, krow_ref, vrow_ref,
+    *, heads: int, nl: int,
+):
+    """The ENTIRE decode step — decoder stack + final LayerNorm + generator
+    + argmax — in one launch. Numerically identical to
+    ``_layers_step_kernel`` followed by ``fused_norm_generator_argmax``
+    (same bf16 round-trip between the stack and the norm, same fp32 @ bf16
+    vocab matmul), just without tiling the vocab: at the small batches this
+    kernel serves, the full [E, V_pad] generator weight and the [Bt, V_pad]
+    fp32 logits fit in VMEM alongside the stack weights."""
+    x = _stack_layers(
+        idx_ref[0], x_ref, k_ref, v_ref, ck_ref, cv_ref, membias_ref,
+        sel_ref, selt_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+        wcq_ref, bcq_ref, wco_ref, bco_ref,
+        n1s_ref, n1b_ref, n2s_ref, n2b_ref,
+        w1_ref, b1_ref, w2_ref, b2_ref, n3s_ref, n3b_ref,
+        krow_ref, vrow_ref, heads=heads, nl=nl,
+    )
+    yn = _layernorm(x, ns_ref[...], nb_ref[...])
+    logits = jax.lax.dot_general(
+        yn.astype(jnp.float32), wg_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bg_ref[...].astype(jnp.float32)
+    tok_ref[:, 0] = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
 def fused_layers_step(
@@ -476,6 +532,128 @@ def fused_layers_step(
         w["n1s"], w["n1b"], w["n2s"], w["n2b"],
         w["w1"], w["b1"], w["w2"], w["b2"], w["n3s"], w["n3b"],
     )
+
+
+def fused_whole_step(
+    x: jnp.ndarray,            # [B, E] current activations
+    k_cache: jnp.ndarray,      # [NL, L, B, E]
+    v_cache: jnp.ndarray,      # [NL, L, B, E]
+    ck: jnp.ndarray,           # [NL, Tm, B, E]
+    cv: jnp.ndarray,           # [NL, Tm, B, E]
+    mem_bias: Optional[jnp.ndarray],  # [B, Tm] fp32 additive or None
+    weights: dict,             # stacked layer weights + norm_s/norm_b/wg/bg
+    idx: jnp.ndarray,          # scalar int32 position
+    *,
+    heads: int,
+    block_b: int = 32,
+    l_view: Optional[int] = None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """ONE launch for the entire decode step -> (next tokens [B] int32,
+    k_cache, v_cache with row ``idx`` written per layer).
+
+    The small-batch fast path: at bt <= 32 the full [E, V_pad] generator
+    weight (~47 MB bf16 at the flagship vocab) + the stacked layer weights
+    (~40 MB) + the [bt, V_pad] fp32 logits all fit in VMEM, so the stack,
+    final LayerNorm, vocab projection and argmax run without a second
+    launch — at B=1 (single-video latency) the decode loop becomes one
+    kernel + glue per token. Token-exact with fused_layers_step +
+    fused_norm_generator_argmax (same dtype round-trips, first-win argmax
+    ties); ``weights`` additionally carries ``norm_s``/``norm_b``/``wg``/
+    ``bg`` exactly as ``extract_fast_weights`` produces them (vocab padded,
+    pad bias NEG_INF)."""
+    b, e = x.shape
+    nl, l = k_cache.shape[0], k_cache.shape[1]
+    if l_view is not None:
+        assert l_view % 8 == 0 and 0 < l_view <= l, (l_view, l)
+        l = l_view
+    tm = ck.shape[1]
+    f = weights["stacked"]["w1"].shape[-1]
+    v_pad = weights["wg"].shape[1]
+    bt = min(block_b, b)
+    assert b % bt == 0 and bt <= 32, (b, bt)
+    assert e % heads == 0
+    grid = (b // bt,)
+    d = e // heads
+
+    lane = jnp.arange(e) // d
+    sel = (lane[:, None] == jnp.arange(heads)[None, :]).astype(jnp.float32)
+    selt = sel.T
+
+    use_mem_bias = mem_bias is not None
+    if mem_bias is None:
+        mem_bias = jnp.zeros((1, tm), jnp.float32)
+
+    def row_spec(cols):
+        return pl.BlockSpec((bt, cols), lambda i, _s: (i, 0), memory_space=pltpu.VMEM)
+
+    def cache_spec(rows):
+        return pl.BlockSpec((nl, rows, bt, e), lambda i, _s: (0, 0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, _s: (0,) * nd, memory_space=pltpu.VMEM)
+
+    mem_bias_spec = (
+        pl.BlockSpec((bt, tm), lambda i, _s: (i, 0), memory_space=pltpu.VMEM)
+        if use_mem_bias
+        else pl.BlockSpec((1, tm), lambda i, _s: (0, 0), memory_space=pltpu.VMEM)
+    )
+    row_out_spec = pl.BlockSpec(
+        (nl, 1, bt, e), lambda i, s: (0, s[0], i, 0), memory_space=pltpu.VMEM
+    )
+
+    w = weights["stacked"]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            row_spec(e), cache_spec(l), cache_spec(l), cache_spec(tm),
+            cache_spec(tm), mem_bias_spec,
+            const_spec((e, heads)), const_spec((heads, e)),
+            const_spec((nl, e, 3 * e)), const_spec((nl, 3 * e)),
+            const_spec((nl, e, e)), const_spec((nl, e)),
+            const_spec((nl, e, e)), const_spec((nl, e)),
+            const_spec((nl, e, e)), const_spec((nl, e)),
+            const_spec((nl, e)), const_spec((nl, e)),
+            const_spec((nl, e)), const_spec((nl, e)),
+            const_spec((nl, e, f)), const_spec((nl, f)),
+            const_spec((nl, f, e)), const_spec((nl, e)),
+            const_spec((nl, e)), const_spec((nl, e)),
+            const_spec((e,)), const_spec((e,)),
+            const_spec((e, v_pad)), const_spec((v_pad,)),
+        ],
+        out_specs=(
+            pl.BlockSpec((bt, 1), lambda i, _s: (i, 0), memory_space=pltpu.VMEM),
+            row_out_spec, row_out_spec,
+        ),
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+        jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+    )
+    kernel = functools.partial(_whole_step_kernel, heads=heads, nl=nl)
+    tok, ks, vs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases={2: 1, 3: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(idx, jnp.int32).reshape(1), x, k_cache, v_cache, ck, cv,
+        mem_bias, sel, selt,
+        w["wqkv"], w["bqkv"], w["wo"], w["bo"],
+        w["wcq"], w["bcq"], w["wco"], w["bco"],
+        w["n1s"], w["n1b"], w["n2s"], w["n2b"],
+        w["w1"], w["b1"], w["w2"], w["b2"], w["n3s"], w["n3b"],
+        weights["norm_s"], weights["norm_b"], weights["wg"], weights["bg"],
+    )
+    return tok[:, 0], ks, vs
 
 
 # ---------------------------------------------------------------------------
