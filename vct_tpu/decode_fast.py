@@ -2,12 +2,14 @@
 
 Same semantics as ``vct_tpu.decode.greedy_generate`` (token-exact; asserted by
 ``tests/test_pallas_decode.py``), but the while-loop body runs on the
-``vct_tpu.ops.pallas_decode`` kernels: ONE fused kernel for the whole decoder
-stack (per layer: QKV + in-place cache write + self/cross attention + norms +
-FFN, statically unrolled over layers) plus one fused
-LayerNorm+generator+argmax kernel — 2 device kernels per token instead of
-the ~40 XLA fusions of the module-graph path, and the [B, vocab] logits never
-round-trip through HBM.
+``vct_tpu.ops.pallas_decode`` kernels. Large batches (> 64): ONE fused kernel
+for the whole decoder stack (per layer: QKV + in-place cache write +
+self/cross attention + norms + FFN, statically unrolled over layers) plus one
+vocab-tiled LayerNorm+generator+argmax kernel — 2 device kernels per token.
+Small batches (<= 64, the serving/latency regime): the generator fits in VMEM
+untiled, so the ENTIRE step is one ``fused_whole_step`` launch. Either way
+that replaces the ~40 XLA fusions of the module-graph path, and the
+[B, vocab] logits never round-trip through HBM.
 
 The flax module tree is unwound ONCE at trace time into flat weight bundles
 (`extract_fast_weights`) — pure pytree indexing, no copies; the kernels
@@ -36,13 +38,13 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def pick_block_b(b: int, cap: int = 64):
-    """Largest batch tile <= cap that divides b and satisfies the sublane
+def pick_block_b(b: int):
+    """Largest batch tile <= 64 that divides b and satisfies the sublane
     constraint (multiple of 8, or the whole batch). None = unsupported.
-    Default cap 64: the whole-stack kernel's tiles (NL layers of cache +
-    cross blocks) overflow VMEM at 128 (the per-layer kernels measured best
-    at 128, the stacked kernel at 64 — 23.3k vs 22.9k captions/s)."""
-    for bt in (cap, 64, 32, 16, 8):
+    64 is the stacked whole-decoder kernel's VMEM ceiling (128 overflows;
+    64 measured fastest — 23.3k vs 22.9k captions/s at 32); the small-batch
+    whole-step kernel further clamps to 32 at the call site."""
+    for bt in (64, 32, 16, 8):
         if bt <= b and b % bt == 0:
             return bt
     return b if b <= 8 else None
@@ -135,15 +137,22 @@ def greedy_generate_fused(
     count dominates — at B=1 it nearly halves single-video latency."""
     b_in = video_feats[0].shape[0]
     if single_kernel is None:
-        single_kernel = b_in <= 64
+        # auto-select only when it doesn't fight an explicit tile request
+        single_kernel = b_in <= 64 and (block_b is None or block_b <= 32)
     if block_b is None:
-        block_b = pick_block_b(b_in, cap=32 if single_kernel else 64)
+        block_b = pick_block_b(b_in)
         if block_b is None:
             raise ValueError(
                 f"fused decode needs batch % 8 == 0 or batch <= 8; got {b_in}"
             )
-    if single_kernel:
-        block_b = min(block_b, 32)
+        if single_kernel:
+            block_b = min(block_b, 32)
+    elif single_kernel and block_b > 32:
+        # only reachable with an explicit single_kernel=True request
+        raise ValueError(
+            f"single_kernel needs block_b <= 32 (got {block_b}): the "
+            "whole-step kernel holds the [bt, V_pad] fp32 logits in VMEM"
+        )
     fw = extract_fast_weights(model, variables, block_v=block_v)
     heads = fw["heads"]
     e = model.config.embed_dim

@@ -7,18 +7,23 @@ floor: dozens of small fusions per token (QKV projections, cache updates,
 matvec attentions, norms, FFN matmuls, the vocab projection) each pay
 scheduling and layout costs that dominate at single-token shapes.
 
-These kernels collapse one decode step into FIVE pallas_calls per token for a
-3-layer decoder (vs ~40 XLA fusions):
+These kernels collapse one decode step into at most TWO pallas_calls per
+token (vs ~40 XLA fusions) — or ONE at small batches:
 
-* ``fused_layer_step`` — one kernel per decoder layer: packed-QKV projection,
-  cache row write, masked self-attention over the cache, out-projection,
-  norm1, cross-attention over the precomputed memory K/V, norm2, FFN, norm3.
-  Grid tiles the batch; weights use constant index maps so Mosaic keeps them
-  resident instead of re-fetching per tile.
+* ``fused_layers_step`` — the whole decoder stack in one kernel (per layer:
+  packed-QKV projection, cache row write, masked self-attention over the
+  cache, out-projection, norm1, cross-attention over the precomputed memory
+  K/V, norm2, FFN, norm3; statically unrolled over layers). Grid tiles the
+  batch; weights use constant index maps so Mosaic keeps them resident
+  instead of re-fetching per tile. ``fused_layer_step`` is the per-layer
+  building block it grew from (kept for tests/composability).
 * ``fused_norm_generator_argmax`` — final stack LayerNorm + vocab projection
   + argmax in one kernel, vocab tiled on an inner grid axis with a running
   (max, argmax) carried across tiles — the [B, V] logits tensor never exists
   in HBM (at B=1024/V=30522 that's a 125 MB/step round-trip on the XLA path).
+* ``fused_whole_step`` — at batch tiles <= 32 the generator weight fits in
+  VMEM untiled, so stack + final norm + generator + argmax run as ONE launch
+  (the serving/single-video path).
 
 TPU-shaped design decisions:
 * caches are laid out [L, B, E]: the per-token row index lands on the LEADING
@@ -415,6 +420,85 @@ def _whole_step_kernel(
     tok_ref[:, 0] = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
+def _stack_call_parts(x, k_cache, v_cache, ck, cv, mem_bias, stacked, idx,
+                      heads, block_b, l_view):
+    """Shared pallas_call plumbing for the stacked-step kernels: shape/tile
+    checks, head-indicator matrices, the stack's in_specs (scalar-prefetch
+    layout), the aliased one-row cache out_spec, and the operand tuple in
+    kernel-argument order. ``fused_layers_step`` and ``fused_whole_step``
+    assemble their calls from this ONE source of truth so the two decode
+    paths cannot silently diverge in layout."""
+    b, e = x.shape
+    nl, l = k_cache.shape[0], k_cache.shape[1]
+    if l_view is not None:
+        assert l_view % 8 == 0 and 0 < l_view <= l, (l_view, l)
+        l = l_view
+    tm = ck.shape[1]
+    f = stacked["w1"].shape[-1]
+    bt = min(block_b, b)
+    assert b % bt == 0, (b, bt)
+    assert e % heads == 0
+    d = e // heads
+
+    lane = jnp.arange(e) // d
+    sel = (lane[:, None] == jnp.arange(heads)[None, :]).astype(jnp.float32)
+    selt = sel.T
+
+    use_mem_bias = mem_bias is not None
+    if mem_bias is None:
+        mem_bias = jnp.zeros((1, tm), jnp.float32)
+
+    def row_spec(cols):
+        return pl.BlockSpec((bt, cols), lambda i, _s: (i, 0), memory_space=pltpu.VMEM)
+
+    def cache_spec(rows):
+        return pl.BlockSpec((nl, rows, bt, e), lambda i, _s: (0, 0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, _s: (0,) * nd, memory_space=pltpu.VMEM)
+
+    mem_bias_spec = (
+        pl.BlockSpec((bt, tm), lambda i, _s: (i, 0), memory_space=pltpu.VMEM)
+        if use_mem_bias
+        else pl.BlockSpec((1, tm), lambda i, _s: (0, 0), memory_space=pltpu.VMEM)
+    )
+    row_out_spec = pl.BlockSpec(
+        (nl, 1, bt, e), lambda i, s: (0, s[0], i, 0), memory_space=pltpu.VMEM
+    )
+
+    w = stacked
+    in_specs = [
+        row_spec(e), cache_spec(l), cache_spec(l), cache_spec(tm),
+        cache_spec(tm), mem_bias_spec,
+        const_spec((e, heads)), const_spec((heads, e)),
+        const_spec((nl, e, 3 * e)), const_spec((nl, 3 * e)),
+        const_spec((nl, e, e)), const_spec((nl, e)),
+        const_spec((nl, e, e)), const_spec((nl, e)),
+        const_spec((nl, e, e)), const_spec((nl, e)),
+        const_spec((nl, e)), const_spec((nl, e)),
+        const_spec((nl, e)), const_spec((nl, e)),
+        const_spec((nl, e, f)), const_spec((nl, f)),
+        const_spec((nl, f, e)), const_spec((nl, e)),
+        const_spec((nl, e)), const_spec((nl, e)),
+    ]
+    operands = (
+        jnp.asarray(idx, jnp.int32).reshape(1), x, k_cache, v_cache, ck, cv,
+        mem_bias, sel, selt,
+        w["wqkv"], w["bqkv"], w["wo"], w["bo"],
+        w["wcq"], w["bcq"], w["wco"], w["bco"],
+        w["n1s"], w["n1b"], w["n2s"], w["n2b"],
+        w["w1"], w["b1"], w["w2"], w["b2"], w["n3s"], w["n3b"],
+    )
+    return {
+        "b": b, "e": e, "nl": nl, "bt": bt, "grid": (b // bt,),
+        "in_specs": in_specs, "operands": operands,
+        "row_spec": row_spec, "const_spec": const_spec,
+        "row_out_spec": row_out_spec,
+    }
+
+
 def fused_layers_step(
     x: jnp.ndarray,            # [B, E] current activations
     k_cache: jnp.ndarray,      # [NL, L, B, E] all layers' self caches
@@ -448,73 +532,21 @@ def fused_layers_step(
     its steps through growing windows instead of always streaming all L rows.
     The fresh row still writes through the full-array aliased output block.
     """
-    b, e = x.shape
-    nl, l = k_cache.shape[0], k_cache.shape[1]
-    if l_view is not None:
-        assert l_view % 8 == 0 and 0 < l_view <= l, (l_view, l)
-        l = l_view
-    tm = ck.shape[1]
-    f = weights["w1"].shape[-1]
-    bt = min(block_b, b)
-    assert b % bt == 0, (b, bt)
-    assert e % heads == 0
-    grid = (b // bt,)
-    d = e // heads
-
-    lane = jnp.arange(e) // d
-    sel = (lane[:, None] == jnp.arange(heads)[None, :]).astype(jnp.float32)
-    selt = sel.T
-
-    use_mem_bias = mem_bias is not None
-    if mem_bias is None:
-        mem_bias = jnp.zeros((1, tm), jnp.float32)
-
-    def row_spec(cols):
-        return pl.BlockSpec((bt, cols), lambda i, _s: (i, 0), memory_space=pltpu.VMEM)
-
-    def cache_spec(rows):
-        return pl.BlockSpec((nl, rows, bt, e), lambda i, _s: (0, 0, i, 0),
-                            memory_space=pltpu.VMEM)
-
-    def const_spec(shape):
-        nd = len(shape)
-        return pl.BlockSpec(shape, lambda i, _s: (0,) * nd, memory_space=pltpu.VMEM)
-
-    mem_bias_spec = (
-        pl.BlockSpec((bt, tm), lambda i, _s: (i, 0), memory_space=pltpu.VMEM)
-        if use_mem_bias
-        else pl.BlockSpec((1, tm), lambda i, _s: (0, 0), memory_space=pltpu.VMEM)
-    )
-    row_out_spec = pl.BlockSpec(
-        (nl, 1, bt, e), lambda i, s: (0, s[0], i, 0), memory_space=pltpu.VMEM
-    )
-
-    w = weights
+    p = _stack_call_parts(x, k_cache, v_cache, ck, cv, mem_bias, weights,
+                          idx, heads, block_b, l_view)
+    e = p["e"]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=grid,
-        in_specs=[
-            row_spec(e), cache_spec(l), cache_spec(l), cache_spec(tm),
-            cache_spec(tm), mem_bias_spec,
-            const_spec((e, heads)), const_spec((heads, e)),
-            const_spec((nl, e, 3 * e)), const_spec((nl, 3 * e)),
-            const_spec((nl, e, e)), const_spec((nl, e)),
-            const_spec((nl, e, e)), const_spec((nl, e)),
-            const_spec((nl, e, e)), const_spec((nl, e)),
-            const_spec((nl, e)), const_spec((nl, e)),
-            const_spec((nl, e)), const_spec((nl, e)),
-            const_spec((nl, e, f)), const_spec((nl, f)),
-            const_spec((nl, f, e)), const_spec((nl, e)),
-            const_spec((nl, e)), const_spec((nl, e)),
-        ],
-        out_specs=(row_spec(e), row_out_spec, row_out_spec),
+        grid=p["grid"],
+        in_specs=p["in_specs"],
+        out_specs=(p["row_spec"](e), p["row_out_spec"], p["row_out_spec"]),
     )
     out_shapes = (
-        jax.ShapeDtypeStruct((b, e), x.dtype),
+        jax.ShapeDtypeStruct((p["b"], e), x.dtype),
         jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
         jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
     )
-    kernel = functools.partial(_layers_step_kernel, heads=heads, nl=nl)
+    kernel = functools.partial(_layers_step_kernel, heads=heads, nl=p["nl"])
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -524,14 +556,7 @@ def fused_layers_step(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
-    )(
-        jnp.asarray(idx, jnp.int32).reshape(1), x, k_cache, v_cache, ck, cv,
-        mem_bias, sel, selt,
-        w["wqkv"], w["bqkv"], w["wo"], w["bo"],
-        w["wcq"], w["bcq"], w["wco"], w["bco"],
-        w["n1s"], w["n1b"], w["n2s"], w["n2b"],
-        w["w1"], w["b1"], w["w2"], w["b2"], w["n3s"], w["n3b"],
-    )
+    )(*p["operands"])
 
 
 def fused_whole_step(
@@ -562,79 +587,28 @@ def fused_whole_step(
     ties); ``weights`` additionally carries ``norm_s``/``norm_b``/``wg``/
     ``bg`` exactly as ``extract_fast_weights`` produces them (vocab padded,
     pad bias NEG_INF)."""
-    b, e = x.shape
-    nl, l = k_cache.shape[0], k_cache.shape[1]
-    if l_view is not None:
-        assert l_view % 8 == 0 and 0 < l_view <= l, (l_view, l)
-        l = l_view
-    tm = ck.shape[1]
-    f = weights["stacked"]["w1"].shape[-1]
+    p = _stack_call_parts(x, k_cache, v_cache, ck, cv, mem_bias,
+                          weights["stacked"], idx, heads, block_b, l_view)
+    e, bt, cs = p["e"], p["bt"], p["const_spec"]
+    assert bt <= 32, (bt, "whole-step keeps [bt, V_pad] fp32 logits in VMEM")
     v_pad = weights["wg"].shape[1]
-    bt = min(block_b, b)
-    assert b % bt == 0 and bt <= 32, (b, bt)
-    assert e % heads == 0
-    grid = (b // bt,)
-    d = e // heads
-
-    lane = jnp.arange(e) // d
-    sel = (lane[:, None] == jnp.arange(heads)[None, :]).astype(jnp.float32)
-    selt = sel.T
-
-    use_mem_bias = mem_bias is not None
-    if mem_bias is None:
-        mem_bias = jnp.zeros((1, tm), jnp.float32)
-
-    def row_spec(cols):
-        return pl.BlockSpec((bt, cols), lambda i, _s: (i, 0), memory_space=pltpu.VMEM)
-
-    def cache_spec(rows):
-        return pl.BlockSpec((nl, rows, bt, e), lambda i, _s: (0, 0, i, 0),
-                            memory_space=pltpu.VMEM)
-
-    def const_spec(shape):
-        nd = len(shape)
-        return pl.BlockSpec(shape, lambda i, _s: (0,) * nd, memory_space=pltpu.VMEM)
-
-    mem_bias_spec = (
-        pl.BlockSpec((bt, tm), lambda i, _s: (i, 0), memory_space=pltpu.VMEM)
-        if use_mem_bias
-        else pl.BlockSpec((1, tm), lambda i, _s: (0, 0), memory_space=pltpu.VMEM)
-    )
-    row_out_spec = pl.BlockSpec(
-        (nl, 1, bt, e), lambda i, s: (0, s[0], i, 0), memory_space=pltpu.VMEM
-    )
-
-    w = weights["stacked"]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=grid,
-        in_specs=[
-            row_spec(e), cache_spec(l), cache_spec(l), cache_spec(tm),
-            cache_spec(tm), mem_bias_spec,
-            const_spec((e, heads)), const_spec((heads, e)),
-            const_spec((nl, e, 3 * e)), const_spec((nl, 3 * e)),
-            const_spec((nl, e, e)), const_spec((nl, e)),
-            const_spec((nl, e, e)), const_spec((nl, e)),
-            const_spec((nl, e, e)), const_spec((nl, e)),
-            const_spec((nl, e)), const_spec((nl, e)),
-            const_spec((nl, e)), const_spec((nl, e)),
-            const_spec((nl, e, f)), const_spec((nl, f)),
-            const_spec((nl, f, e)), const_spec((nl, e)),
-            const_spec((nl, e)), const_spec((nl, e)),
-            const_spec((e,)), const_spec((e,)),
-            const_spec((e, v_pad)), const_spec((v_pad,)),
+        grid=p["grid"],
+        in_specs=p["in_specs"] + [
+            cs((e,)), cs((e,)), cs((e, v_pad)), cs((v_pad,)),
         ],
         out_specs=(
             pl.BlockSpec((bt, 1), lambda i, _s: (i, 0), memory_space=pltpu.VMEM),
-            row_out_spec, row_out_spec,
+            p["row_out_spec"], p["row_out_spec"],
         ),
     )
     out_shapes = (
-        jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        jax.ShapeDtypeStruct((p["b"], 1), jnp.int32),
         jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
         jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
     )
-    kernel = functools.partial(_whole_step_kernel, heads=heads, nl=nl)
+    kernel = functools.partial(_whole_step_kernel, heads=heads, nl=p["nl"])
     tok, ks, vs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -645,12 +619,7 @@ def fused_whole_step(
         ),
         interpret=interpret,
     )(
-        jnp.asarray(idx, jnp.int32).reshape(1), x, k_cache, v_cache, ck, cv,
-        mem_bias, sel, selt,
-        w["wqkv"], w["bqkv"], w["wo"], w["bo"],
-        w["wcq"], w["bcq"], w["wco"], w["bco"],
-        w["n1s"], w["n1b"], w["n2s"], w["n2b"],
-        w["w1"], w["b1"], w["w2"], w["b2"], w["n3s"], w["n3b"],
+        *p["operands"],
         weights["norm_s"], weights["norm_b"], weights["wg"], weights["bg"],
     )
     return tok[:, 0], ks, vs
