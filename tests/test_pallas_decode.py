@@ -149,3 +149,16 @@ def test_stacked_layers_kernel_matches_per_layer(rng):
         np.testing.assert_array_equal(np.asarray(x_ref), np.asarray(x_new))
         np.testing.assert_array_equal(np.asarray(jnp.stack(kc)), np.asarray(ks))
         np.testing.assert_array_equal(np.asarray(jnp.stack(vc)), np.asarray(vs))
+
+
+def test_single_kernel_block_b_conflict(rng):
+    """Explicit single_kernel=True with block_b > 32 is rejected clearly;
+    auto-selection never fights an explicit large tile (falls back to the
+    two-kernel path instead of clamping the caller's choice)."""
+    model = _model()
+    feats, masks, variables = _init(model, rng)
+    with pytest.raises(ValueError, match="single_kernel needs block_b <= 32"):
+        greedy_generate_fused(
+            model, variables, feats, masks, max_len=MAX_LEN, start_id=2,
+            end_id=-1, block_b=64, single_kernel=True, interpret=True,
+        )

@@ -15,7 +15,6 @@ def main():
         feats, masks, caps, cap_mask = _batch(b, 12, 8, 512, 30522)
         variables = model.init(jax.random.PRNGKey(0), feats, masks, caps,
                                cap_mask, method=MMT4Caption.caption_loss)
-        fn = jax.jit(lambda v, f, m, sk: None)  # placeholder
         for sk in (True, False):
             t0 = time.perf_counter()
             toks = greedy_generate_fused(model, variables, feats, masks,
