@@ -489,3 +489,32 @@ def test_trainer_explicit_tp_mesh(workspace):
     assert not tr.model.tpu.use_pallas_attention
     loss = tr.train_epoch(0)
     assert np.isfinite(loss)
+
+
+def test_tp_mesh_checkpoint_resume(workspace):
+    """Save/resume round-trips on a dp x tp mesh: restore_checkpoint reads
+    into the host state, then shard_train_state re-applies the TP placement —
+    the resumed run carries identical parameters and step count."""
+    import dataclasses
+    import os
+
+    from vct_tpu.parallel.mesh import make_mesh
+    from vct_tpu.train.loop import Trainer
+
+    cfg = make_config(workspace)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, tag="tp_resume", epoch=1))
+    tr = Trainer(cfg, mesh=make_mesh(2, 2), log=lambda *_: None)
+    tr.fit()
+    latest = os.path.join(cfg.train.save_dir, "tp_resume_latest")
+    assert os.path.isdir(latest)
+
+    tr2 = Trainer(cfg, mesh=make_mesh(2, 2), log=lambda *_: None)
+    tr2.resume(latest)
+    assert tr2.start_epoch == 1
+    assert int(tr2.state.step) == int(tr.state.step)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(tr.state.params)),
+        jax.tree_util.tree_leaves(jax.device_get(tr2.state.params)),
+    ):
+        np.testing.assert_array_equal(a, b)
