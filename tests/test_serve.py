@@ -265,3 +265,84 @@ def test_mm_batching_still_works(mm_server):
     for t in threads:
         t.join()
     assert all(s == 200 for s, _ in results)
+
+
+# ---------------------------------------------------------------------------
+# overload bounds (round-2 VERDICT #7): bounded queue -> 503, body cap -> 413
+# ---------------------------------------------------------------------------
+
+
+def test_oversized_body_413(server):
+    """Bodies past the cap are rejected BEFORE being read into RAM."""
+    old = server.service.max_body_bytes
+    server.service.max_body_bytes = 1024
+    try:
+        big = _npy_bytes(np.zeros((100, 100), np.float32))
+        assert len(big) > 1024
+        status, payload = _post(server, "/v1/caption", big)
+        assert status == 413 and "exceeds limit" in payload["error"]
+    finally:
+        server.service.max_body_bytes = old
+    # normal requests still work afterwards
+    arr = np.random.default_rng(8).standard_normal((T, E_FEAT)).astype(np.float32)
+    status, _ = _post(server, "/v1/caption", _npy_bytes(arr))
+    assert status == 200
+
+
+def test_queue_full_503_unit():
+    """A full request queue raises ServerOverloadedError immediately (503)
+    instead of buffering the features — backpressure, not unbounded RAM."""
+    import queue as q
+    from types import SimpleNamespace
+
+    from vct_tpu.serve import CaptionService, ServerOverloadedError
+
+    svc = object.__new__(CaptionService)
+    svc._queue = q.Queue(maxsize=1)
+    svc.max_queue = 1
+    svc._stop = threading.Event()
+    svc.stats = {"requests": 0, "batches": 0, "rejected": 0}
+    svc.cfg = SimpleNamespace(model=SimpleNamespace(modal_shape=[E_FEAT]))
+    arr = np.zeros((T, E_FEAT), np.float32)
+
+    # no worker: the first request occupies the single slot (and times out)
+    with pytest.raises(TimeoutError):
+        svc.caption_features(arr, timeout=0.01)
+    with pytest.raises(ServerOverloadedError, match="queue full"):
+        svc.caption_features(arr, timeout=0.01)
+    assert svc.stats["rejected"] == 1
+
+
+def test_sustained_concurrent_load(server):
+    """32 concurrent clients, several requests each: every response is
+    either served (200) or cleanly shed (503) — nothing hangs, nothing
+    5xx-crashes — and the queue drains back to empty."""
+    import time as _time
+
+    body = _npy_bytes(
+        np.random.default_rng(9).standard_normal((T, E_FEAT)).astype(np.float32))
+    n_clients, n_reqs = 32, 3
+    statuses = []
+    lock = threading.Lock()
+
+    def worker():
+        for _ in range(n_reqs):
+            s, _p = _post(server, "/v1/caption", body)
+            with lock:
+                statuses.append(s)
+
+    threads = [threading.Thread(target=worker) for _ in range(n_clients)]
+    t0 = _time.monotonic()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not any(t.is_alive() for t in threads), "stuck client threads"
+    assert len(statuses) == n_clients * n_reqs
+    assert set(statuses) <= {200, 503}, f"unexpected statuses {set(statuses)}"
+    assert statuses.count(200) >= n_clients  # real work got through
+    deadline = _time.monotonic() + 10
+    while server.service._queue.qsize() and _time.monotonic() < deadline:
+        _time.sleep(0.05)
+    assert server.service._queue.qsize() == 0
+    assert _time.monotonic() - t0 < 300

@@ -36,6 +36,10 @@ from typing import List, Optional
 import numpy as np
 
 
+class ServerOverloadedError(RuntimeError):
+    """The request queue is full — the caller should retry later (503)."""
+
+
 class _Request:
     __slots__ = ("feats", "event", "caption", "error", "abandoned")
 
@@ -52,7 +56,9 @@ class CaptionService:
     ``caption_video`` entry points; one background batcher thread."""
 
     def __init__(self, cfg, ckpt_path: str, *, clip_weights: Optional[str] = None,
-                 max_batch: int = 32, batch_timeout_ms: float = 5.0, log=print):
+                 max_batch: int = 32, batch_timeout_ms: float = 5.0,
+                 max_queue: Optional[int] = None,
+                 max_body_bytes: int = 64 * 1024 * 1024, log=print):
         import jax.numpy as jnp
 
         from vct_tpu.cli.common import load_checkpoint_into, make_trainer_pieces
@@ -95,9 +101,16 @@ class CaptionService:
                   for _ in cfg.model.modal_shape]
         np.asarray(self.decode_fn(self.variables, warm_f, warm_m)[0])
 
-        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        # bounded: a burst beyond ~max_queue outstanding videos gets an
+        # immediate 503 (ServerOverloadedError) instead of buffering feature
+        # arrays in RAM until clients time out — memory stays O(max_queue)
+        # regardless of offered load. 8 batches deep absorbs normal jitter
+        # while the batcher drains max_batch per dispatch.
+        self.max_queue = max_queue if max_queue is not None else 8 * max_batch
+        self.max_body_bytes = max_body_bytes
+        self._queue: "queue.Queue[_Request]" = queue.Queue(maxsize=self.max_queue)
         self._stop = threading.Event()
-        self.stats = {"requests": 0, "batches": 0}
+        self.stats = {"requests": 0, "batches": 0, "rejected": 0}
         self._worker = threading.Thread(target=self._batch_loop, daemon=True)
         self._worker.start()
 
@@ -141,7 +154,13 @@ class CaptionService:
         if self._stop.is_set():
             raise RuntimeError("server shutting down")
         req = _Request(feats)
-        self._queue.put(req)
+        try:
+            self._queue.put_nowait(req)
+        except queue.Full:
+            self.stats["rejected"] += 1
+            raise ServerOverloadedError(
+                f"request queue full ({self.max_queue} deep); retry later"
+            ) from None
         if not req.event.wait(timeout):
             req.abandoned = True  # don't waste a batch slot on a gone client
             raise TimeoutError("caption request timed out")
@@ -244,6 +263,13 @@ class CaptionService:
                 for r in batch:
                     r.error = f"{type(e).__name__}: {e}"
                     r.event.set()
+                # the previously launched group must still be answered —
+                # without this, repeated dispatch failures under sustained
+                # traffic would strand the in-flight clients until their
+                # timeout fires
+                if inflight is not None:
+                    self._finish(*inflight)
+                    inflight = None
                 continue
             if inflight is not None:
                 self._finish(*inflight)
@@ -267,12 +293,27 @@ def make_handler(service: CaptionService):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._reply(200, {"status": "ok", **service.stats})
+                self._reply(200, {"status": "ok",
+                                  "queued": service._queue.qsize(),
+                                  **service.stats})
             else:
                 self._reply(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                self._reply(400, {"error": "bad Content-Length"})
+                self.close_connection = True
+                return
+            if length > service.max_body_bytes:
+                # reject BEFORE reading: the body never enters RAM. The
+                # connection must drop (unread bytes are still inbound).
+                self._reply(413, {
+                    "error": f"body {length} bytes exceeds limit "
+                             f"{service.max_body_bytes}"})
+                self.close_connection = True
+                return
             body = self.rfile.read(length)
             try:
                 if self.path.startswith("/v1/caption_video"):
@@ -297,6 +338,8 @@ def make_handler(service: CaptionService):
                     self._reply(404, {"error": f"no route {self.path}"})
                     return
                 self._reply(200, {"caption": caption})
+            except ServerOverloadedError as e:
+                self._reply(503, {"error": str(e), "retry": True})
             except TimeoutError as e:
                 self._reply(503, {"error": str(e)})
             except ValueError as e:
@@ -308,9 +351,11 @@ def make_handler(service: CaptionService):
 
 
 def serve(cfg, ckpt_path: str, *, host="0.0.0.0", port=8000,
-          clip_weights=None, max_batch=32, batch_timeout_ms=5.0):
+          clip_weights=None, max_batch=32, batch_timeout_ms=5.0,
+          max_queue=None, max_body_bytes=64 * 1024 * 1024):
     service = CaptionService(cfg, ckpt_path, clip_weights=clip_weights,
-                             max_batch=max_batch, batch_timeout_ms=batch_timeout_ms)
+                             max_batch=max_batch, batch_timeout_ms=batch_timeout_ms,
+                             max_queue=max_queue, max_body_bytes=max_body_bytes)
     server = ThreadingHTTPServer((host, port), make_handler(service))
     server.service = service
     return server
@@ -329,13 +374,19 @@ def main(argv=None) -> None:
     p.add_argument("--clip_weights", type=str, default=None)
     p.add_argument("--max_batch", type=int, default=32)
     p.add_argument("--batch_timeout_ms", type=float, default=5.0)
+    p.add_argument("--max_queue", type=int, default=None,
+                   help="queued requests before 503 (default 8*max_batch)")
+    p.add_argument("--max_body_mb", type=int, default=64,
+                   help="request body cap in MiB before 413")
     add_device_args(p)
     args = p.parse_args(argv)
     configure_hardware(args)
 
     server = serve(load_config(args.config), args.model, host=args.host,
                    port=args.port, clip_weights=args.clip_weights,
-                   max_batch=args.max_batch, batch_timeout_ms=args.batch_timeout_ms)
+                   max_batch=args.max_batch, batch_timeout_ms=args.batch_timeout_ms,
+                   max_queue=args.max_queue,
+                   max_body_bytes=args.max_body_mb * 1024 * 1024)
     print(f"serving on {args.host}:{args.port} (max_batch={args.max_batch})")
     try:
         server.serve_forever()
