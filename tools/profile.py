@@ -1,0 +1,224 @@
+"""Parameterized profiler for the flagship model on the real TPU.
+
+Collapses the round-2 scratch experiments (profile_decode2..12,
+profile_train2..4 — findings live in their commits and in the kernel
+docstrings) into one entry point:
+
+  python tools/profile.py decode-sweep        # steady-state caps/s vs batch
+  python tools/profile.py train               # train-step decomposition
+  python tools/profile.py latency             # B=1 sync vs pipelined split
+  python tools/profile.py trace --out /tmp/tr # jax.profiler trace of one
+                                              # train step + one decode batch
+
+Run from the repo root. Measured lessons already baked into the framework:
+a fixed ~35-41 ms per-synchronous-fetch relay cost (hidden by
+decode.pipelined_map), fused whole-stack decode kernels (ops/pallas_decode),
+rbg dropout + fused LM-head loss in the train step.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from __graft_entry__ import _batch, _flagship
+from vct_tpu.models.mmt4caption import MMT4Caption
+
+T, MAX_LEN, VOCAB, S = 12, 30, 30522, 32
+
+
+def _warm():
+    np.asarray(jax.jit(lambda x: x * 2)(jnp.ones((8, 128))))
+
+
+def _init(model, b, s=8):
+    feats, masks, caps, cap_mask = _batch(b, T, s, 512, VOCAB)
+    variables = model.init(jax.random.PRNGKey(0), feats, masks, caps,
+                           cap_mask, method=MMT4Caption.caption_loss)
+    return feats, masks, caps, cap_mask, variables
+
+
+def decode_sweep(batches=(1024, 2048, 4096, 8192), iters=10):
+    """Steady-state (double-buffered) production decode throughput."""
+    from vct_tpu.decode import make_auto_greedy_fn, pipelined_map
+
+    model = _flagship(dtype=jnp.bfloat16)
+    greedy = make_auto_greedy_fn(model, MAX_LEN, 101, -1)
+    for b in batches:
+        feats, masks, _, _, variables = _init(model, b)
+        launch = lambda _i: greedy(variables, feats, masks)[0]  # noqa: E731
+        np.asarray(launch(0))
+        t0 = time.perf_counter()
+        for _ in pipelined_map(launch, range(iters)):
+            pass
+        dt = (time.perf_counter() - t0) / iters
+        print(f"B={b:5d} steady: {dt*1000:7.1f} ms/batch {b/dt:8.0f} caps/s",
+              flush=True)
+        del feats, masks, variables
+
+
+def latency(iters=24):
+    """B=1 fused decode: synchronous (pays a relay round trip per call) vs
+    pipelined (hides it) — the difference is the transport floor."""
+    from vct_tpu.decode import make_auto_greedy_fn, pipelined_map
+
+    model = _flagship(dtype=jnp.bfloat16)
+    feats, masks, _, _, variables = _init(model, 1)
+    fn = make_auto_greedy_fn(model, MAX_LEN, 101, -1)
+    np.asarray(fn(variables, feats, masks)[0])
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        np.asarray(fn(variables, feats, masks)[0])
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    t0 = time.perf_counter()
+    for _ in pipelined_map(lambda _i: fn(variables, feats, masks)[0],
+                           range(iters)):
+        pass
+    piped = (time.perf_counter() - t0) / iters
+    print(f"sync p50 {lat[len(lat)//2]*1000:.1f} ms  "
+          f"pipelined {piped*1000:.1f} ms  "
+          f"transport ~{(lat[len(lat)//2]-piped)*1000:.1f} ms")
+
+
+def train(batches=(64, 256, 512), iters=16):
+    """Train-step decomposition: full step / fwd / fwd+bwd / +dropout /
+    optimizer-only (the round-2 profile_train3 harness)."""
+    from vct_tpu.config import TrainConfig
+    from vct_tpu.train.optimizers import build_optimizer
+    from vct_tpu.train.state import make_train_state
+    from vct_tpu.train.step import make_train_step
+
+    model = _flagship(dtype=jnp.bfloat16)
+    for b in batches:
+        feats, masks, caps, cap_mask, variables = _init(model, b, S)
+        batch = {"feats": feats, "masks": masks, "token_ids": caps,
+                 "token_mask": cap_mask}
+        optimizer = build_optimizer(TrainConfig(), variables["params"])
+        state = make_train_state(jax.tree_util.tree_map(jnp.copy, variables),
+                                 optimizer)
+        step = make_train_step(model, optimizer, "caption")
+        for _ in range(3):
+            state, m = step(state, batch)
+        np.asarray(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, batch)
+        np.asarray(m["loss"])
+        dt_full = (time.perf_counter() - t0) / iters
+        print(f"B={b:4d} full step         {dt_full*1000:8.2f} ms "
+              f"{b/dt_full:8.0f} samples/s", flush=True)
+
+        p = variables["params"]
+
+        def timed(fn, *args, label=""):
+            out = fn(*args)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(*args)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
+            dt = (time.perf_counter() - t0) / iters
+            print(f"B={b:4d} {label:<17s} {dt*1000:8.2f} ms", flush=True)
+
+        @jax.jit
+        def fwd(params):
+            v = {"params": params, "buffers": variables["buffers"]}
+            return model.apply(v, feats, masks, caps, cap_mask,
+                               deterministic=True,
+                               method=MMT4Caption.caption_loss)
+
+        @jax.jit
+        def fwdbwd(params):
+            def lf(pp):
+                v = {"params": pp, "buffers": variables["buffers"]}
+                return model.apply(v, feats, masks, caps, cap_mask,
+                                   deterministic=True,
+                                   method=MMT4Caption.caption_loss)
+            return jax.value_and_grad(lf)(params)
+
+        @jax.jit
+        def fwdbwd_do(params, key):
+            def lf(pp):
+                v = {"params": pp, "buffers": variables["buffers"]}
+                return model.apply(v, feats, masks, caps, cap_mask,
+                                   deterministic=False,
+                                   rngs={"dropout": key},
+                                   method=MMT4Caption.caption_loss)
+            return jax.value_and_grad(lf)(params)
+
+        timed(fwd, p, label="fwd (det)")
+        timed(fwdbwd, p, label="fwd+bwd (det)")
+        timed(fwdbwd_do, p, jax.random.PRNGKey(1), label="fwd+bwd (dropout)")
+
+        _, grads = fwdbwd(p)
+        opt_state = optimizer.init(p)
+
+        @jax.jit
+        def opt_only(pp, os, g):
+            import optax
+
+            updates, os2 = optimizer.update(g, os, pp)
+            return optax.apply_updates(pp, updates), os2
+
+        timed(lambda: opt_only(p, opt_state, grads), label="optimizer only")
+        del feats, masks, caps, cap_mask, variables, state
+
+
+def trace(out_dir: str):
+    """One jax.profiler trace covering a train step (B=256) and a decode
+    batch (B=2048) — open in XProf/Perfetto for the op-level roofline."""
+    from vct_tpu.config import TrainConfig
+    from vct_tpu.decode import make_auto_greedy_fn
+    from vct_tpu.train.optimizers import build_optimizer
+    from vct_tpu.train.state import make_train_state
+    from vct_tpu.train.step import make_train_step
+
+    model = _flagship(dtype=jnp.bfloat16)
+    feats, masks, caps, cap_mask, variables = _init(model, 256, S)
+    batch = {"feats": feats, "masks": masks, "token_ids": caps,
+             "token_mask": cap_mask}
+    optimizer = build_optimizer(TrainConfig(), variables["params"])
+    state = make_train_state(variables, optimizer)
+    step = make_train_step(model, optimizer, "caption")
+    for _ in range(3):
+        state, m = step(state, batch)
+    np.asarray(m["loss"])
+
+    dfeats, dmasks, _, _, dvars = _init(model, 2048)
+    greedy = make_auto_greedy_fn(model, MAX_LEN, 101, -1)
+    np.asarray(greedy(dvars, dfeats, dmasks)[0])
+
+    with jax.profiler.trace(out_dir):
+        for _ in range(3):
+            state, m = step(state, batch)
+        np.asarray(m["loss"])
+        np.asarray(greedy(dvars, dfeats, dmasks)[0])
+    print(f"trace written to {out_dir}")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("mode", choices=["decode-sweep", "train", "latency", "trace"])
+    p.add_argument("--out", default="/tmp/vct_trace", help="trace output dir")
+    p.add_argument("--batches", type=int, nargs="*", default=None)
+    args = p.parse_args()
+    _warm()
+    if args.mode == "decode-sweep":
+        decode_sweep(tuple(args.batches) if args.batches else (1024, 2048, 4096, 8192))
+    elif args.mode == "train":
+        train(tuple(args.batches) if args.batches else (64, 256, 512))
+    elif args.mode == "latency":
+        latency()
+    else:
+        trace(args.out)
+
+
+if __name__ == "__main__":
+    main()
