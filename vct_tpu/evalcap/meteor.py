@@ -144,10 +144,14 @@ def score_pair(hyp: Sequence[str], ref: Sequence[str]) -> float:
 
 class Meteor:
     note = (
-        "METEOR 1.5 formulation (pure Python): exact/stem/synonym stages with "
-        "a bundled synonym table and function-word list standing in for the "
-        "jar's WordNet + resource files; absolute values can differ from the "
-        "Java tool where synonymy coverage differs."
+        "METEOR 1.5 formulation (pure Python), absolute scores pinned to the "
+        "published Denkowski & Lavie 2014 formulas by hand-derived fixtures "
+        "(tests/test_meteor_fixtures.py). The synonym stage uses a bundled "
+        "caption-domain table (~300 groups) standing in for WordNet (not "
+        "downloadable here), so values can differ from the Java jar exactly "
+        "where a pair's synonymy is covered by WordNet but not the table "
+        "(or vice versa); exact/stem stages and all parameters match the "
+        "published model."
     )
 
     def method(self) -> str:
