@@ -98,6 +98,25 @@ def test_eval_cli_beam(workspace, capsys):
     assert "Bleu_4" in capsys.readouterr().out
 
 
+def test_eval_cli_baseline_diff(workspace, capsys):
+    """--baseline prints the ours-vs-published delta table (the one-command
+    BASELINE.md parity check; round-2 VERDICT missing #2)."""
+    from vct_tpu.cli.eval import diff_baseline, main
+
+    main(["-c", str(workspace / "config.json"),
+          "-m", str(workspace / "ckpt" / "cli_earlystop"),
+          "--baseline", "msvd"])
+    out = capsys.readouterr().out
+    assert "published" in out and "delta" in out
+    assert "58.0" in out  # the MSVD Bleu@4 target from BASELINE.md
+
+    deltas = diff_baseline({"Bleu_4": 0.58, "METEOR": 0.399,
+                            "ROUGE_L": 0.77, "CIDEr": 1.138}, "msvd",
+                           log=lambda *_: None)
+    for v in deltas.values():
+        assert abs(v) < 1e-9  # exact parity -> zero delta on the x100 scale
+
+
 def test_predict_cli_features_greedy_and_vis(workspace, capsys):
     from vct_tpu.cli.predict import main
 

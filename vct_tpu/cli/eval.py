@@ -40,8 +40,36 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the metric dict as JSON here (for harnesses)")
     p.add_argument("--per_video", action="store_true",
                    help="also print per-video scores (reference COCOScorer keeps them)")
+    p.add_argument("--baseline", choices=sorted(PUBLISHED), default=None,
+                   help="diff the scores against the reference repo's "
+                        "published test-split numbers (BASELINE.md)")
     add_device_args(p)
     return p
+
+
+# The reference's published test-split metrics (x100 scale), README model
+# zoo (/root/reference/README.md:50-53); the BASELINE.md parity targets.
+PUBLISHED = {
+    "msvd": {"Bleu_4": 58.0, "METEOR": 39.9, "ROUGE_L": 77.0, "CIDEr": 113.8},
+    "msrvtt": {"Bleu_4": 48.1, "METEOR": 31.1, "ROUGE_L": 65.1, "CIDEr": 60.2},
+}
+
+
+def diff_baseline(scores: Dict[str, float], dataset: str, log=print) -> Dict[str, float]:
+    """Print and return metric deltas (ours - published, x100 scale) so a
+    user with the real data + a ported checkpoint can check BASELINE.md
+    parity in one command:
+    ``python -m vct_tpu.cli.eval -c cfg.json -m ckpt.pth --baseline msvd``."""
+    ref = PUBLISHED[dataset]
+    deltas = {}
+    log(f"--- vs published {dataset} test-split numbers "
+        f"(/root/reference/README.md:50-53) ---")
+    for name, pub in ref.items():
+        ours = float(scores.get(name, float("nan"))) * 100.0
+        deltas[name] = ours - pub
+        log(f"{name:8s} ours {ours:6.1f}  published {pub:6.1f}  "
+            f"delta {ours - pub:+6.1f}")
+    return deltas
 
 
 def evaluate(cfg, ckpt_path: str, beam: int = 0, log=print) -> Dict[str, float]:
@@ -52,8 +80,8 @@ def evaluate(cfg, ckpt_path: str, beam: int = 0, log=print) -> Dict[str, float]:
     from vct_tpu.data.loader import build_dataloader
     from vct_tpu.decode import (
         detokenize_batch,
+        make_auto_beam_fn,
         make_auto_greedy_fn,
-        make_beam_fn,
         pipelined_map,
     )
     from vct_tpu.evalcap.scorer import COCOScorer, make_coco_sample
@@ -63,8 +91,8 @@ def evaluate(cfg, ckpt_path: str, beam: int = 0, log=print) -> Dict[str, float]:
 
     ds, loader = build_dataloader(cfg.data.eval, cfg.tpu)
     if beam > 0:
-        decode_fn = make_beam_fn(model, cfg.test.max_length,
-                                 tokenizer.start_id, tokenizer.end_id, beam)
+        decode_fn = make_auto_beam_fn(model, cfg.test.max_length,
+                                      tokenizer.start_id, tokenizer.end_id, beam)
     else:
         decode_fn = make_auto_greedy_fn(model, cfg.test.max_length,
                                         tokenizer.start_id, tokenizer.end_id)
@@ -99,6 +127,8 @@ def main(argv=None) -> None:
 
     scores = evaluate(cfg, args.model, beam=args.beam)
     print_scores(scores)
+    if args.baseline:
+        diff_baseline(scores, args.baseline)
     if args.per_video:
         print(json.dumps(evaluate.per_video, indent=2, default=float))
     if args.out:
