@@ -162,3 +162,171 @@ def test_single_kernel_block_b_conflict(rng):
             model, variables, feats, masks, max_len=MAX_LEN, start_id=2,
             end_id=-1, block_b=64, single_kernel=True, interpret=True,
         )
+
+
+# ---------------------------------------------------------------------------
+# shard_mapped fused decode (multi-device mesh)
+# ---------------------------------------------------------------------------
+
+
+def _init_wide(model, rng, b):
+    feats = [jnp.asarray(rng.standard_normal((b, T, D_FEAT)).astype(np.float32))]
+    pad = np.zeros((b, T), bool)
+    pad[1, -2:] = True
+    pad[b - 3, -3:] = True
+    masks = [jnp.asarray(pad)]
+    caps = jnp.zeros((b, MAX_LEN), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(3), feats, masks, caps, caps == 0,
+                           method=MMT4Caption.caption_loss)
+    return feats, masks, variables
+
+
+def test_fused_sharded_token_exact(rng):
+    """greedy_generate_fused_sharded on the 8-device mesh reproduces the
+    single-device module-graph token matrix exactly (end_id never fires, so
+    per-shard early exit can't diverge the post-[SEP] filler)."""
+    from vct_tpu.decode_fast import greedy_generate_fused_sharded
+    from vct_tpu.parallel.mesh import make_mesh, replicate, shard_batch_arrays
+
+    model = _model()
+    b = 16
+    feats, masks, variables = _init_wide(model, rng, b)
+    ref_tokens, _ = greedy_generate(
+        model, variables, feats, masks, max_len=MAX_LEN, start_id=2, end_id=-1,
+    )
+
+    mesh = make_mesh()
+    v_sh = replicate(mesh, variables)
+    f_sh = shard_batch_arrays(mesh, feats)
+    m_sh = shard_batch_arrays(mesh, masks)
+    tokens, _ = jax.jit(
+        lambda v, f, m: greedy_generate_fused_sharded(
+            model, v, f, m, mesh=mesh, max_len=MAX_LEN, start_id=2, end_id=-1,
+            block_v=256, interpret=True,
+        )
+    )(v_sh, f_sh, m_sh)
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(ref_tokens))
+
+
+def test_fused_sharded_caption_exact_with_early_stop(rng):
+    """With a live end_id each shard may exit its loop earlier than the
+    global program (its local rows all finished), so post-[SEP] filler can
+    differ — but the user-visible contract, the caption truncated at the
+    first [SEP] (reference MMT4Caption.py:174-183), must match row for row."""
+    from vct_tpu.decode_fast import greedy_generate_fused_sharded
+    from vct_tpu.parallel.mesh import make_mesh, replicate, shard_batch_arrays
+
+    model = _model()
+    b = 16
+    feats, masks, variables = _init_wide(model, rng, b)
+    end_id = 7
+    ref_tokens, _ = greedy_generate(
+        model, variables, feats, masks, max_len=MAX_LEN, start_id=2,
+        end_id=end_id,
+    )
+
+    mesh = make_mesh()
+    tokens, _ = jax.jit(
+        lambda v, f, m: greedy_generate_fused_sharded(
+            model, v, f, m, mesh=mesh, max_len=MAX_LEN, start_id=2,
+            end_id=end_id, block_v=256, interpret=True,
+        )
+    )(replicate(mesh, variables), shard_batch_arrays(mesh, feats),
+      shard_batch_arrays(mesh, masks))
+
+    def truncate(row):
+        row = list(row)
+        return row[: row.index(end_id) + 1] if end_id in row else row
+
+    for got, ref in zip(np.asarray(tokens).tolist(),
+                        np.asarray(ref_tokens).tolist()):
+        assert truncate(got) == truncate(ref)
+
+
+def test_fused_sharded_supported_predicate():
+    from vct_tpu.decode_fast import fused_decode_sharded_supported
+
+    assert fused_decode_sharded_supported(2048, 8)   # 256/shard -> block 64
+    assert fused_decode_sharded_supported(16, 8)     # 2/shard -> block 2
+    assert not fused_decode_sharded_supported(12, 8)  # not divisible
+    assert not fused_decode_sharded_supported(88, 8)  # 11/shard: >8, not %8
+
+
+# ---------------------------------------------------------------------------
+# fused beam search (top-k kernel + beam loop)
+# ---------------------------------------------------------------------------
+
+
+def test_topk_kernel_matches_xla(rng):
+    """fused_norm_generator_topk's values/ids/logsumexp == lax.top_k +
+    logsumexp of the XLA norm+projection composition, padding never
+    selected, lowest-index tie-breaks preserved."""
+    from vct_tpu.decode_fast import _round_up
+    from vct_tpu.ops.pallas_decode import fused_norm_generator_topk
+
+    b, e, v, bv, k = 8, 128, 300, 128, 4
+    x = jnp.asarray(rng.standard_normal((b, e)).astype(np.float32))
+    ns = jnp.asarray(rng.standard_normal((e,)).astype(np.float32))
+    nb = jnp.asarray(rng.standard_normal((e,)).astype(np.float32))
+    wg = jnp.asarray(rng.standard_normal((e, v)).astype(np.float32))
+    bg = jnp.asarray(rng.standard_normal((v,)).astype(np.float32))
+
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + 1e-5) * ns + nb
+    logits = y @ wg + bg
+    ref_v, ref_i = jax.lax.top_k(logits, k)
+    ref_lse = jax.nn.logsumexp(logits, axis=-1)
+
+    v_pad = _round_up(v, bv)
+    wg_p = jnp.pad(wg, ((0, 0), (0, v_pad - v)))
+    bg_p = jnp.pad(bg, (0, v_pad - v), constant_values=-1e30)
+    tv, ti, lse = fused_norm_generator_topk(
+        x, ns, nb, wg_p, bg_p, k=k, block_b=4, block_v=bv, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(tv), np.asarray(ref_v), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse), rtol=1e-6)
+
+
+def test_topk_kernel_tie_break_across_tiles(rng):
+    """Duplicated max values spanning vocab tiles must resolve to the
+    LOWEST absolute id, exactly like lax.top_k."""
+    from vct_tpu.ops.pallas_decode import fused_norm_generator_topk
+
+    b, e, v, bv, k = 4, 128, 256, 128, 3
+    x = jnp.asarray(rng.standard_normal((b, e)).astype(np.float32))
+    ns, nb = jnp.ones((e,)), jnp.zeros((e,))
+    # weight columns tied pairwise across the two tiles: col j == col j+128
+    half = rng.standard_normal((e, bv)).astype(np.float32)
+    wg = jnp.asarray(np.concatenate([half, half], axis=1))
+    bg = jnp.zeros((v,))
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + 1e-5) * ns + nb
+    ref_v, ref_i = jax.lax.top_k(y @ wg + bg, k)
+    tv, ti, _ = fused_norm_generator_topk(
+        x, ns, nb, wg, bg, k=k, block_b=4, block_v=bv, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(tv), np.asarray(ref_v), rtol=1e-6)
+
+
+@pytest.mark.parametrize("end_id", [-1, 7])
+def test_fused_beam_token_exact(rng, end_id):
+    """beam_generate_fused reproduces the module-graph beam search's tokens
+    exactly (and scores to fp32 noise), with and without early finishing."""
+    from vct_tpu.decode import beam_generate
+    from vct_tpu.decode_fast import beam_generate_fused
+
+    model = _model()
+    feats, masks, variables = _init(model, rng)
+    ref_t, ref_s = beam_generate(
+        model, variables, feats, masks, beam_size=3,
+        max_len=MAX_LEN, start_id=2, end_id=end_id,
+    )
+    fus_t, fus_s = beam_generate_fused(
+        model, variables, feats, masks, beam_size=3,
+        max_len=MAX_LEN, start_id=2, end_id=end_id,
+        block_b=4, block_v=256, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(fus_t), np.asarray(ref_t))
+    np.testing.assert_allclose(np.asarray(fus_s), np.asarray(ref_s), rtol=1e-5)

@@ -252,24 +252,52 @@ def make_greedy_fn(model: MMT4Caption, max_len: int, start_id: int, end_id: int,
 
 
 def make_auto_greedy_fn(model: MMT4Caption, max_len: int, start_id: int,
-                        end_id: int, collect_attn: bool = False) -> Callable:
+                        end_id: int, collect_attn: bool = False,
+                        mesh=None, interpret: bool = False) -> Callable:
     """Greedy decode on the fastest eligible path: the fused Pallas decode
     kernels on TPU (``vct_tpu.decode_fast``; 27.5k vs 8.4k captions/s/chip
     measured steady-state at B=2048), falling back to the module-graph
     program off-TPU, for attention collection, or for batch sizes the
-    kernels can't tile."""
+    kernels can't tile.
+
+    ``mesh`` (multi-device): the fused kernels run under shard_map over the
+    'data' axis — same per-chip throughput as single-device — when the model
+    opted in via ``tpu.pallas_partition_kernels`` and the mesh is data-only
+    (TP shards the decoder weights over 'model', which the replicated-weight
+    kernels can't consume); otherwise the module-graph GSPMD program."""
     module_fn = make_greedy_fn(model, max_len, start_id, end_id,
                                collect_attn=collect_attn)
-    if (
-        collect_attn
-        or not model.tpu.use_pallas_attention
-        or jax.default_backend() != "tpu"
-    ):
+    on_tpu = jax.default_backend() == "tpu" or interpret
+    if collect_attn or not model.tpu.use_pallas_attention or not on_tpu:
         return module_fn
+
+    if mesh is not None and mesh.size > 1:
+        if (
+            not model.tpu.pallas_partition_kernels
+            or mesh.shape.get("model", 1) > 1
+        ):
+            return module_fn
+
+        from vct_tpu.decode_fast import (
+            fused_decode_sharded_supported,
+            make_fused_greedy_sharded_fn,
+        )
+
+        n = mesh.shape["data"]
+        fused_fn = make_fused_greedy_sharded_fn(
+            model, mesh, max_len, start_id, end_id, interpret=interpret)
+
+        def fn(variables, video_feats, video_masks):
+            if fused_decode_sharded_supported(video_feats[0].shape[0], n):
+                return fused_fn(variables, video_feats, video_masks)
+            return module_fn(variables, video_feats, video_masks)
+
+        return fn
 
     from vct_tpu.decode_fast import fused_decode_supported, make_fused_greedy_fn
 
-    fused_fn = make_fused_greedy_fn(model, max_len, start_id, end_id)
+    fused_fn = make_fused_greedy_fn(model, max_len, start_id, end_id,
+                                    interpret=interpret)
 
     def fn(variables, video_feats, video_masks):
         if fused_decode_supported(video_feats[0].shape[0]):
@@ -292,6 +320,39 @@ def make_beam_fn(model: MMT4Caption, max_len: int, start_id: int, end_id: int,
     return fn
 
 
+def make_auto_beam_fn(model: MMT4Caption, max_len: int, start_id: int,
+                      end_id: int, beam_size: int,
+                      length_penalty: float = 0.6, mesh=None,
+                      interpret: bool = False) -> Callable:
+    """Beam search on the fastest eligible path: the fused decode kernels on
+    a single TPU chip (one stack launch + one norm/generator/top-k launch
+    per token — the [B*K, vocab] log-softmax never hits HBM), the
+    module-graph GSPMD program on a multi-device mesh or off-TPU, or for
+    batch*beam sizes the kernels can't tile."""
+    module_fn = make_beam_fn(model, max_len, start_id, end_id, beam_size,
+                             length_penalty)
+    on_tpu = jax.default_backend() == "tpu" or interpret
+    if not model.tpu.use_pallas_attention or not on_tpu:
+        return module_fn
+    if mesh is not None and mesh.size > 1:
+        # multi-device: GSPMD shards the module-graph beam; shard_mapping
+        # the beam kernels would also need the cache regather inside the
+        # shard, which is batch-local and safe, but is not wired yet
+        return module_fn
+
+    from vct_tpu.decode_fast import fused_beam_supported, make_fused_beam_fn
+
+    fused_fn = make_fused_beam_fn(model, max_len, start_id, end_id, beam_size,
+                                  length_penalty, interpret=interpret)
+
+    def fn(variables, video_feats, video_masks):
+        if fused_beam_supported(video_feats[0].shape[0], beam_size):
+            return fused_fn(variables, video_feats, video_masks)
+        return module_fn(variables, video_feats, video_masks)
+
+    return fn
+
+
 def detokenize_batch(tokenizer, tokens) -> List[str]:
     """Token-id matrix -> caption strings (reference truncation semantics)."""
     import numpy as np
@@ -301,7 +362,9 @@ def detokenize_batch(tokenizer, tokens) -> List[str]:
 
 def pipelined_map(launch, batches, *, depth: int = 2):
     """Map a device-launching ``launch(batch) -> device result`` over an
-    iterable, keeping up to ``depth`` executions in flight; yields
+    iterable, retaining ``depth`` launched-but-unfetched executions after
+    each yield (so ``depth + 1`` can briefly be in flight right after an
+    append — size device memory for depth+1 result buffers); yields
     ``(batch, host_result)`` in submission order.
 
     Split-decode loops (eval every epoch, ``train.py:248`` in the reference)

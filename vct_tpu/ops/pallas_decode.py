@@ -630,6 +630,132 @@ def fused_whole_step(
 # ---------------------------------------------------------------------------
 
 
+def _topk_rows(vals, idxs, k):
+    """Iterative k-pass top-k over the last axis -> ([Bt, k], [Bt, k]).
+
+    ``vals`` [Bt, N] fp32, ``idxs`` [Bt, N] int32 (absolute ids). First-win
+    argmax per pass == lax.top_k's lowest-index tie-break as long as equal
+    values appear in increasing-id order, which both the raw logit tiles
+    (iota ids) and previously-selected lists (selected in id order) satisfy.
+    k is tiny (the beam width), so this is k cheap vector passes — no sort,
+    no gather."""
+    n = vals.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+    out_v, out_i = [], []
+    for _ in range(k):
+        best = jnp.max(vals, axis=1)                       # [Bt]
+        arg = jnp.argmax(vals, axis=1).astype(jnp.int32)   # first win
+        sel = col == arg[:, None]
+        out_v.append(best)
+        out_i.append(jnp.sum(jnp.where(sel, idxs, 0), axis=1))
+        vals = jnp.where(sel, -jnp.inf, vals)
+    return jnp.stack(out_v, axis=1), jnp.stack(out_i, axis=1)
+
+
+def _gen_topk_kernel(x_ref, ns_ref, nb_ref, wg_ref, bg_ref,
+                     topv_ref, topi_ref, m_ref, s_ref, yn_ref,
+                     *, vt: int, k: int):
+    """Grid (B_tiles, V_tiles), V innermost. Carries a running per-row
+    top-k (values + absolute vocab ids) AND online-softmax (max, sumexp)
+    state in revisited output blocks across the vocab tiles — the beam
+    search's [B·K, V] log-softmax materialization collapsed into [B·K, k]
+    outputs plus a logsumexp."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        yn_ref[...] = _layernorm(
+            x_ref[...], ns_ref[...], nb_ref[...]
+        ).astype(yn_ref.dtype)
+        topv_ref[...] = jnp.full(topv_ref.shape, -jnp.inf, topv_ref.dtype)
+        topi_ref[...] = jnp.zeros(topi_ref.shape, topi_ref.dtype)
+        m_ref[...] = jnp.full(m_ref.shape, -jnp.inf, m_ref.dtype)
+        s_ref[...] = jnp.zeros(s_ref.shape, s_ref.dtype)
+
+    logits = jax.lax.dot_general(
+        yn_ref[...], wg_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bg_ref[...].astype(jnp.float32)  # [Bt, VT]
+
+    # online logsumexp (rescale the running sum when the max moves)
+    tile_m = jnp.max(logits, axis=-1, keepdims=True)
+    m_old = m_ref[...]
+    m_new = jnp.maximum(m_old, tile_m)
+    s_ref[...] = (
+        s_ref[...] * jnp.exp(m_old - m_new)
+        + jnp.sum(jnp.exp(logits - m_new), axis=-1, keepdims=True)
+    )
+    m_ref[...] = m_new
+
+    # tile top-k, then merge with the running top-k (prev listed first so
+    # first-win ties prefer the lower absolute id, like lax.top_k)
+    ids = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + j * vt
+    tile_v, tile_i = _topk_rows(logits, ids, k)
+    cat_v = jnp.concatenate([topv_ref[...], tile_v], axis=1)
+    cat_i = jnp.concatenate([topi_ref[...], tile_i], axis=1)
+    topv_ref[...], topi_ref[...] = _topk_rows(cat_v, cat_i, k)
+
+
+def fused_norm_generator_topk(
+    x: jnp.ndarray,         # [B, E] final decoder activations
+    norm_scale: jnp.ndarray,
+    norm_bias: jnp.ndarray,
+    wg: jnp.ndarray,        # [E, V_pad]
+    bg: jnp.ndarray,        # [V_pad] (pad columns biased to -inf-ish)
+    *,
+    k: int,
+    block_b: int = 128,
+    block_v: int = 1024,
+    interpret: bool = False,
+):
+    """LayerNorm -> vocab projection -> per-row top-k + logsumexp, the
+    [B, V] logits never reaching HBM -> (values [B, k] fp32,
+    ids [B, k] int32, lse [B] fp32).
+
+    ``values - lse[:, None]`` are exactly the top-k log-softmax entries, so
+    beam search can form its per-beam candidates from k numbers instead of
+    the whole vocab row (the reference stubs beam entirely,
+    ``/root/reference/model/MMT4Caption.py:186-187``; the module-graph
+    ``decode.beam_generate`` materializes [B·K, 30522] logits + log_softmax
+    in HBM every token)."""
+    b, e = x.shape
+    v = wg.shape[1]
+    bt = min(block_b, b)
+    assert b % bt == 0 and v % block_v == 0, (b, bt, v, block_v)
+    assert k >= 1
+    grid = (b // bt, v // block_v)
+
+    out = pl.pallas_call(
+        functools.partial(_gen_topk_kernel, vt=block_v, k=k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, e), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e, block_v), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_v,), lambda i, j: (j,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bt, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, e), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, e), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x, norm_scale, norm_bias, wg, bg)
+    topv, topi, m, s = out[0], out[1], out[2], out[3]
+    lse = m[:, 0] + jnp.log(s[:, 0])
+    return topv, topi, lse
+
+
 def _gen_argmax_kernel(x_ref, ns_ref, nb_ref, wg_ref, bg_ref,
                        tok_ref, best_ref, yn_ref, *, vt: int):
     """Grid (B_tiles, V_tiles), V innermost. Carries running (max, argmax)

@@ -33,8 +33,6 @@ from vct_tpu.convert import convert_state_dict, load_torch_state_dict
 from vct_tpu.data.loader import DataLoader, build_dataloader
 from vct_tpu.decode import (
     detokenize_batch,
-    make_beam_fn,
-    make_greedy_fn,
     pipelined_map,
 )
 from vct_tpu.evalcap.scorer import COCOScorer, make_coco_sample
@@ -119,12 +117,15 @@ class Trainer:
             self.log("model-axis > 1: disabling the fused LM-head loss in "
                      "favor of GSPMD vocab-sharded logits")
             tpu_cfg = dataclasses.replace(tpu_cfg, use_fused_loss=False)
+        if tpu_cfg.pallas_partition_kernels:
+            # every opted-in Trainer resets the registry to ITS mesh (or
+            # clears it on a single-device mesh) so a Trainer built after a
+            # multi-device one never inherits a stale mesh at trace time
+            from vct_tpu.parallel.mesh import set_kernel_mesh
+
+            set_kernel_mesh(self.mesh if self.mesh.size > 1 else None)
         if self.mesh.size > 1 and tpu_cfg.use_pallas_attention:
             if tpu_cfg.pallas_partition_kernels:
-                # keep the kernel: shard_map it over 'data' at trace time
-                from vct_tpu.parallel.mesh import set_kernel_mesh
-
-                set_kernel_mesh(self.mesh)
                 self.log("multi-device mesh: Pallas attention runs under "
                          "shard_map over the 'data' axis")
             else:
@@ -160,25 +161,24 @@ class Trainer:
         self.train_step = make_train_step(self.model, self.optimizer, self.task)
         self.val_step = make_eval_step(self.model, self.task)
         if cfg.tpu.beam_size > 1:
-            self.greedy_fn = make_beam_fn(
+            from vct_tpu.decode import make_auto_beam_fn
+
+            self.greedy_fn = make_auto_beam_fn(
                 self.model, cfg.test.max_length,
                 self.tokenizer.start_id, self.tokenizer.end_id,
-                cfg.tpu.beam_size,
+                cfg.tpu.beam_size, mesh=self.mesh,
             )
-        elif self.mesh.size == 1:
-            # single-chip eval decoding rides the fused Pallas kernels on TPU
+        else:
+            # eval decoding rides the fused Pallas kernels on TPU: directly
+            # on one chip, shard_mapped over 'data' on a multi-device mesh
+            # (when the model opted in via tpu.pallas_partition_kernels and
+            # the mesh carries no TP); module-graph GSPMD otherwise
             from vct_tpu.decode import make_auto_greedy_fn
 
             self.greedy_fn = make_auto_greedy_fn(
                 self.model, cfg.test.max_length,
                 self.tokenizer.start_id, self.tokenizer.end_id,
-            )
-        else:
-            # multi-chip GSPMD decode (data- and/or model-sharded) runs the
-            # module-graph program — the fused kernels are single-device
-            self.greedy_fn = make_greedy_fn(
-                self.model, cfg.test.max_length,
-                self.tokenizer.start_id, self.tokenizer.end_id,
+                mesh=self.mesh,
             )
         self.earlystop = EarlyStopping(patience=cfg.train.earlystop, trace_func=log)
         self.writer = writer
