@@ -35,6 +35,36 @@ struct NpyInfo {
   int64_t payload_off = 0;
 };
 
+// IEEE 754 binary32 -> binary16, round-to-nearest-even (matches
+// np.float32.astype(np.float16)). Used by the f16-output batch path that
+// quarters host->device transfer bytes vs float64/float32 features.
+uint16_t float_to_half(float f) {
+  uint32_t x;
+  memcpy(&x, &f, 4);
+  uint32_t sign = (x >> 16) & 0x8000u;
+  uint32_t exp = (x >> 23) & 0xFFu;
+  uint32_t man = x & 0x7FFFFFu;
+  if (exp == 255)  // inf/nan (keep nan non-zero mantissa)
+    return (uint16_t)(sign | 0x7C00u | (man ? (0x200u | (man >> 13)) : 0));
+  int e = (int)exp - 127 + 15;  // half-biased exponent
+  if (e >= 31) return (uint16_t)(sign | 0x7C00u);  // overflow -> inf
+  if (e <= 0) {                                    // subnormal or zero
+    if (e < -10) return (uint16_t)sign;            // underflows to +-0
+    uint32_t m = man | 0x800000u;
+    int shift = 14 - e;
+    uint32_t hman = m >> shift;
+    uint32_t rem = m & ((1u << shift) - 1);
+    uint32_t halfway = 1u << (shift - 1);
+    if (rem > halfway || (rem == halfway && (hman & 1))) hman++;
+    return (uint16_t)(sign | hman);  // carry into exponent is correct
+  }
+  uint32_t hman = man >> 13;
+  uint32_t rem = man & 0x1FFFu;
+  uint16_t h = (uint16_t)(sign | ((uint32_t)e << 10) | hman);
+  if (rem > 0x1000u || (rem == 0x1000u && (h & 1))) h++;  // rne (carry ok)
+  return h;
+}
+
 // IEEE 754 binary16 -> binary32 (matches np.float16.astype(np.float32))
 float half_to_float(uint16_t h) {
   uint32_t sign = (uint32_t)(h & 0x8000u) << 16;
@@ -126,9 +156,16 @@ std::string parse_header(FILE* f, NpyInfo* info) {
   return "";
 }
 
-// Load one file into out[max_t * e], mask[max_t]; returns error or "".
+// Load one file into out[max_t * e] (float32, or float16 when half_out),
+// mask[max_t]; returns error or "". The f16 output path matches
+// "load -> float32 -> astype(float16)" numerics: f16-stored rows memcpy
+// verbatim (f16->f32->f16 round-trips exactly), wider dtypes go through
+// float then round-to-nearest-even.
 std::string load_one(const char* path, int64_t max_t, int64_t e,
-                     float* out, uint8_t* mask, int32_t* t_out) {
+                     void* out_v, uint8_t* mask, int32_t* t_out,
+                     bool half_out) {
+  float* out = half_out ? nullptr : (float*)out_v;
+  uint16_t* outh = half_out ? (uint16_t*)out_v : nullptr;
   FILE* f = fopen(path, "rb");
   if (!f) return std::string("cannot open ") + path;
   NpyInfo info;
@@ -170,7 +207,7 @@ std::string load_one(const char* path, int64_t max_t, int64_t e,
     }
   };
 
-  memset(out, 0, sizeof(float) * max_t * e);
+  memset(out_v, 0, (half_out ? sizeof(uint16_t) : sizeof(float)) * max_t * e);
   int64_t keep = t <= max_t ? t : max_t;
   // uniform subsample when t > max_t, bit-exact with numpy:
   // np.linspace(0, t-1, max_t) computes y[i] = i * ((t-1)/(max_t-1)) with the
@@ -181,8 +218,13 @@ std::string load_one(const char* path, int64_t max_t, int64_t e,
     if (t > max_t) {
       ti = (i == max_t - 1) ? t - 1 : (int64_t)(step * (double)i);
     }
-    if (stored_te && info.esize == 4) {
+    if (!half_out && stored_te && info.esize == 4) {
       memcpy(out + i * e, raw.data() + ti * e * 4, e * 4);
+    } else if (half_out && stored_te && info.esize == 2) {
+      memcpy(outh + i * e, raw.data() + ti * e * 2, e * 2);
+    } else if (half_out) {
+      for (int64_t j = 0; j < e; j++)
+        outh[i * e + j] = float_to_half(elem(ti, j));
     } else {
       for (int64_t j = 0; j < e; j++) out[i * e + j] = elem(ti, j);
     }
@@ -199,21 +241,23 @@ extern "C" {
 // Fill out[n, max_t, e] float32 + mask[n, max_t] uint8 (1=pad) from n .npy
 // files in parallel. Returns 0 on success; on failure returns 1 and writes a
 // message into err_buf.
-int nl_load_padded(const char** paths, int64_t n, int64_t max_t, int64_t e,
-                   float* out, uint8_t* mask, int32_t* lengths,
-                   int n_threads, char* err_buf, int err_len) {
+static int load_padded_impl(const char** paths, int64_t n, int64_t max_t,
+                            int64_t e, void* out, uint8_t* mask,
+                            int32_t* lengths, int n_threads, char* err_buf,
+                            int err_len, bool half_out) {
   std::atomic<int64_t> next(0);
   std::atomic<bool> failed(false);
   std::string first_err;
   std::mutex err_mu;
+  int64_t out_stride = max_t * e * (half_out ? 2 : 4);
 
   auto worker = [&]() {
     while (true) {
       int64_t i = next.fetch_add(1);
       if (i >= n || failed.load()) return;
       std::string err = load_one(paths[i], max_t, e,
-                                 out + i * max_t * e, mask + i * max_t,
-                                 lengths + i);
+                                 (unsigned char*)out + i * out_stride,
+                                 mask + i * max_t, lengths + i, half_out);
       if (!err.empty()) {
         std::lock_guard<std::mutex> lk(err_mu);
         if (!failed.exchange(true)) first_err = err;
@@ -235,6 +279,23 @@ int nl_load_padded(const char** paths, int64_t n, int64_t max_t, int64_t e,
     return 1;
   }
   return 0;
+}
+
+int nl_load_padded(const char** paths, int64_t n, int64_t max_t, int64_t e,
+                   float* out, uint8_t* mask, int32_t* lengths,
+                   int n_threads, char* err_buf, int err_len) {
+  return load_padded_impl(paths, n, max_t, e, out, mask, lengths, n_threads,
+                          err_buf, err_len, false);
+}
+
+// float16 output variant: quarters (vs f64) / halves (vs f32) the bytes the
+// host ships to the device — the dominant e2e cost on narrow host->device
+// links. f16-stored features are memcpy'd verbatim.
+int nl_load_padded_f16(const char** paths, int64_t n, int64_t max_t, int64_t e,
+                       uint16_t* out, uint8_t* mask, int32_t* lengths,
+                       int n_threads, char* err_buf, int err_len) {
+  return load_padded_impl(paths, n, max_t, e, out, mask, lengths, n_threads,
+                          err_buf, err_len, true);
 }
 
 }  // extern "C"

@@ -170,3 +170,89 @@ def test_multimodal_native_batches(tmp_path):
             np.testing.assert_array_equal(a, b)
         for a, b in zip(bn.masks, bp.masks):
             np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# float16 output (host->device transfer dtype; round-3)
+# ---------------------------------------------------------------------------
+
+
+def test_f16_output_parity_all_layouts(files):
+    """dtype=float16 output == load -> float32 -> astype(float16) bitwise,
+    across stored dtypes (f2/f4/f8), layouts, subsampling, padding."""
+    max_t = 8
+    paths = list(files.values())
+    feats, mask = native.load_padded_batch(paths, max_t, E, dtype=np.float16)
+    assert feats.dtype == np.float16
+    for i, p in enumerate(paths):
+        ref_feat, ref_mask = fit_time_axis(load_feature(p), max_t)
+        np.testing.assert_array_equal(
+            feats[i].view(np.uint16),
+            ref_feat.astype(np.float16).view(np.uint16), err_msg=p)
+        np.testing.assert_array_equal(mask[i], ref_mask, err_msg=p)
+
+
+def test_f16_output_memcpy_path_verbatim(tmp_path):
+    """f16-stored (T, E) features come back bit-identical (the memcpy fast
+    path), including rounding-sensitive values."""
+    rng = np.random.default_rng(3)
+    arr = (rng.standard_normal((6, E)) * 100).astype(np.float16)
+    arr[0, 0] = np.float16(65504)     # max half
+    arr[0, 1] = np.float16(6e-8)      # subnormal
+    p = tmp_path / "h.npy"
+    np.save(p, arr)
+    feats, _ = native.load_padded_batch([str(p)], 8, E, dtype=np.float16)
+    np.testing.assert_array_equal(
+        feats[0, :6].view(np.uint16), arr.view(np.uint16))
+
+
+def test_f16_rounding_matches_numpy(tmp_path):
+    """fp32 payloads: C++ round-to-nearest-even == numpy astype(float16) on
+    adversarial values (ties, subnormals, overflow, negatives)."""
+    vals = np.array([
+        1.0009765625, 1.00048828125, 1.0004882812500002,  # tie and neighbors
+        65504.0, 65520.0, 65519.99, -65520.0,             # overflow boundary
+        5.960464477539063e-08, 2.9802322387695312e-08,    # subnormal / tie->0
+        8.940696716308594e-08, 0.0, -0.0, 1e-45, -1e-45,
+        3.14159265, -2.718281828, 1e4, -1e-4,
+    ], dtype=np.float32)
+    arr = np.zeros((2, E), np.float32)
+    arr[0, :len(vals)] = vals
+    arr[1, :len(vals)] = -vals
+    p = tmp_path / "r.npy"
+    np.save(p, arr)
+    feats, _ = native.load_padded_batch([str(p)], 2, E, dtype=np.float16)
+    np.testing.assert_array_equal(
+        feats[0].view(np.uint16), arr.astype(np.float16).view(np.uint16))
+
+
+def test_loader_feat_dtype_f16(tmp_path):
+    """DataLoader(feat_dtype=float16): native and Python fallback paths
+    produce identical half batches."""
+    from vct_tpu.data.datasets import MSVDDataset
+    from vct_tpu.data.loader import DataLoader
+
+    feat_dir = tmp_path / "f"
+    feat_dir.mkdir()
+    rng = np.random.default_rng(1)
+    lines = []
+    for i in range(6):
+        np.save(feat_dir / f"v{i}.npy",
+                rng.standard_normal((5, E)).astype(np.float32))
+        lines.append(f"v{i} a caption {i}")
+    ann = tmp_path / "ann.txt"
+    ann.write_text("\n".join(lines))
+    ds = MSVDDataset([str(feat_dir)], str(ann), mode="by_video",
+                     split_type="validate")
+
+    batches = {}
+    for use_native in (True, False):
+        loader = DataLoader(ds, 6, max_frames=8, prefetch=0,
+                            native=use_native, feat_dtype=np.float16)
+        (batch,) = list(loader)
+        assert batch.feats[0].dtype == np.float16
+        batches[use_native] = batch
+    np.testing.assert_array_equal(
+        batches[True].feats[0].view(np.uint16),
+        batches[False].feats[0].view(np.uint16))
+    np.testing.assert_array_equal(batches[True].masks[0], batches[False].masks[0])

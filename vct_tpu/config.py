@@ -332,6 +332,12 @@ class TPUConfig:
     # models/ docstrings) instead of the corrected semantics.
     quirk_unmasked_aggregation: bool = False
     quirk_no_memory_mask_in_decoder: bool = False
+    # Host->device dtype for feature batches ("float32" or "float16").
+    # float16 halves/quarters the bytes shipped per batch — the measured e2e
+    # eval bottleneck on narrow host->device links — and the model casts
+    # inputs to its compute dtype on device anyway. float32 default keeps
+    # parity-test numerics byte-identical.
+    feat_transfer_dtype: str = "float32"
     # decoding
     beam_size: int = 1  # 1 = greedy; >1 = beam search (reference stubs beam)
     seed: int = 666  # reference seeds 666 (train.py:308)

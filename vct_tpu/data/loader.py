@@ -39,6 +39,7 @@ class DataLoader:
         seed: int = 666,
         prefetch: int = 2,
         native: Optional[bool] = None,
+        feat_dtype=np.float32,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -48,6 +49,10 @@ class DataLoader:
         self.drop_last = shuffle if drop_last is None else drop_last
         self.seed = seed
         self.prefetch = prefetch
+        # float16 batches halve/quarter host->device transfer bytes (the e2e
+        # bottleneck on narrow links); the model casts inputs to its compute
+        # dtype on device (encoder.py: src.astype(self.dtype))
+        self.feat_dtype = np.dtype(feat_dtype)
         self.epoch = 0
         if native is None:  # auto: use the C++ batch loader when it builds
             from vct_tpu.data import native as native_mod
@@ -84,6 +89,7 @@ class DataLoader:
                         batch_size=bs,
                         max_frames=self.max_frames,
                         preprocessor=self.preprocessor,
+                        feat_dtype=self.feat_dtype,
                     )
                     continue
                 except IOError as e:
@@ -94,12 +100,21 @@ class DataLoader:
                     # load_feature casts via numpy)
                     self.native = False
             items = [self.dataset[int(i)] for i in idx]
-            yield collate(
+            batch = collate(
                 items,
                 batch_size=bs,
                 max_frames=self.max_frames,
                 preprocessor=self.preprocessor,
             )
+            if self.feat_dtype != np.float32:
+                # same fp32 -> fp16 rounding as the native f16 path
+                import dataclasses
+
+                batch = dataclasses.replace(
+                    batch,
+                    feats=[f.astype(self.feat_dtype) for f in batch.feats],
+                )
+            yield batch
 
     def __iter__(self) -> Iterator[Batch]:
         if self.prefetch <= 0:
@@ -145,5 +160,6 @@ def build_dataloader(split_cfg, tpu_cfg, preprocessor=None) -> "tuple[CoreDatase
         preprocessor=preprocessor,
         shuffle=is_train,
         seed=tpu_cfg.seed,
+        feat_dtype=np.dtype(getattr(tpu_cfg, "feat_transfer_dtype", "float32")),
     )
     return ds, loader

@@ -57,19 +57,30 @@ def _load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(str(_LIB))
         except OSError:
             return None
-        lib.nl_load_padded.restype = ctypes.c_int
-        lib.nl_load_padded.argtypes = [
+        common = [
             ctypes.POINTER(ctypes.c_char_p),  # paths
             ctypes.c_int64,  # n
             ctypes.c_int64,  # max_t
             ctypes.c_int64,  # e
-            ctypes.POINTER(ctypes.c_float),  # out
+            None,  # out (per dtype)
             ctypes.POINTER(ctypes.c_uint8),  # mask
             ctypes.POINTER(ctypes.c_int32),  # lengths
             ctypes.c_int,  # n_threads
             ctypes.c_char_p,  # err_buf
             ctypes.c_int,  # err_len
         ]
+        lib.nl_load_padded.restype = ctypes.c_int
+        lib.nl_load_padded.argtypes = [
+            ctypes.POINTER(ctypes.c_float) if a is None else a for a in common
+        ]
+        try:
+            lib.nl_load_padded_f16.restype = ctypes.c_int
+            lib.nl_load_padded_f16.argtypes = [
+                ctypes.POINTER(ctypes.c_uint16) if a is None else a
+                for a in common
+            ]
+        except AttributeError:  # stale .so without the f16 entry point
+            pass
         _lib = lib
         return _lib
 
@@ -79,33 +90,56 @@ def available() -> bool:
 
 
 def load_padded_batch(
-    paths: Sequence[str], max_t: int, e: int, n_threads: int = 0
+    paths: Sequence[str], max_t: int, e: int, n_threads: int = 0,
+    dtype=np.float32,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """paths (one .npy per item) -> (feats [N, max_t, e] f32,
-    mask [N, max_t] bool True=pad). Exact ``fit_time_axis`` semantics."""
+    """paths (one .npy per item) -> (feats [N, max_t, e] ``dtype``,
+    mask [N, max_t] bool True=pad). Exact ``fit_time_axis`` semantics.
+
+    ``dtype=np.float16`` emits half-precision batches straight from C++
+    (f16-stored features are memcpy'd; wider dtypes round-to-nearest-even,
+    matching ``load -> float32 -> astype(float16)``) — halves/quarters the
+    bytes the host ships to the device, which is the e2e eval bottleneck on
+    narrow host->device links (round-3 measurement: a relay-attached chip
+    moves ~25 MB/s, so a [2048, 12, 512] fp32 batch costs ~4 s in transfer
+    alone)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native loader unavailable")
+    dtype = np.dtype(dtype)
+    if dtype == np.float16 and not hasattr(lib, "nl_load_padded_f16"):
+        raise RuntimeError("native loader too old for float16 output")
+    if dtype not in (np.dtype(np.float32), np.dtype(np.float16)):
+        raise ValueError(f"dtype must be float32 or float16, got {dtype}")
     n = len(paths)
-    out = np.empty((n, max_t, e), np.float32)
+    out = np.empty((n, max_t, e), dtype)
     mask = np.empty((n, max_t), np.uint8)
     lengths = np.empty((n,), np.int32)
     c_paths = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
     err = ctypes.create_string_buffer(512)
-    rc = lib.nl_load_padded(
-        c_paths, n, max_t, e,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        n_threads, err, len(err),
-    )
+    if dtype == np.float16:
+        rc = lib.nl_load_padded_f16(
+            c_paths, n, max_t, e,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n_threads, err, len(err),
+        )
+    else:
+        rc = lib.nl_load_padded(
+            c_paths, n, max_t, e,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n_threads, err, len(err),
+        )
     if rc != 0:
         raise IOError(f"native loader: {err.value.decode()}")
     return out, mask.astype(bool)
 
 
 def collate_from_dataset(dataset, indices, *, batch_size: int, max_frames: int,
-                         preprocessor=None):
+                         preprocessor=None, feat_dtype=np.float32):
     """Native-path equivalent of ``collate(items, ...)``: resolves (caption,
     vid, paths) host-side, loads + pads all files of the batch in C++."""
     from vct_tpu.data.collate import Batch
@@ -126,7 +160,7 @@ def collate_from_dataset(dataset, indices, *, batch_size: int, max_frames: int,
     for m in range(dataset.num_modal):
         paths = [dataset.feature_paths(vid)[m] for _, vid in rows]
         e = dims[m] if dims else _peek_dim(paths[0])
-        f, msk = load_padded_batch(paths, max_frames, e)
+        f, msk = load_padded_batch(paths, max_frames, e, dtype=feat_dtype)
         feats.append(f)
         masks.append(msk)
 

@@ -350,13 +350,20 @@ def make_handler(service: CaptionService):
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # the stdlib default listen backlog (5) resets connections under a
+    # concurrent burst well below max_queue; accept first, shed via 503
+    request_queue_size = 128
+    daemon_threads = True
+
+
 def serve(cfg, ckpt_path: str, *, host="0.0.0.0", port=8000,
           clip_weights=None, max_batch=32, batch_timeout_ms=5.0,
           max_queue=None, max_body_bytes=64 * 1024 * 1024):
     service = CaptionService(cfg, ckpt_path, clip_weights=clip_weights,
                              max_batch=max_batch, batch_timeout_ms=batch_timeout_ms,
                              max_queue=max_queue, max_body_bytes=max_body_bytes)
-    server = ThreadingHTTPServer((host, port), make_handler(service))
+    server = _Server((host, port), make_handler(service))
     server.service = service
     return server
 
