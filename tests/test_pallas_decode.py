@@ -330,3 +330,81 @@ def test_fused_beam_token_exact(rng, end_id):
     )
     np.testing.assert_array_equal(np.asarray(fus_t), np.asarray(ref_t))
     np.testing.assert_allclose(np.asarray(fus_s), np.asarray(ref_s), rtol=1e-5)
+
+
+def test_fused_beam_sharded_matches_single_device(rng):
+    """beam_generate_fused_sharded on the 8-device mesh == the single-device
+    fused beam (tokens exactly, scores to fp32 noise); each video's k beams
+    stay on one shard so the regather is shard-local."""
+    from vct_tpu.decode_fast import (
+        beam_generate_fused,
+        beam_generate_fused_sharded,
+        fused_beam_sharded_supported,
+    )
+    from vct_tpu.parallel.mesh import make_mesh, replicate, shard_batch_arrays
+
+    model = _model()
+    b, k = 16, 3
+    feats, masks, variables = _init_wide(model, rng, b)
+    ref_t, ref_s = beam_generate_fused(
+        model, variables, feats, masks, beam_size=k,
+        max_len=MAX_LEN, start_id=2, end_id=-1,
+        block_b=6, block_v=256, interpret=True,
+    )
+
+    mesh = make_mesh()
+    assert fused_beam_sharded_supported(b, k, 8)
+    tok, sc = jax.jit(
+        lambda v, f, m: beam_generate_fused_sharded(
+            model, v, f, m, mesh=mesh, beam_size=k, max_len=MAX_LEN,
+            start_id=2, end_id=-1, block_v=256, interpret=True,
+        )
+    )(replicate(mesh, variables), shard_batch_arrays(mesh, feats),
+      shard_batch_arrays(mesh, masks))
+    np.testing.assert_array_equal(np.asarray(tok), np.asarray(ref_t))
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(ref_s), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# single-launch full-sequence decode kernel (latency regime)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("end_id", [-1, 7])
+def test_sequence_kernel_token_exact(rng, end_id):
+    """fused_sequence_decode (the WHOLE generation in one pallas_call:
+    VMEM-resident weights + caches, per-token embedding-row DMA) reproduces
+    the module-graph greedy exactly, with and without early finishing."""
+    from vct_tpu.decode_fast import _prep_decode
+    from vct_tpu.ops.pallas_decode import fused_sequence_decode
+
+    model = _model()
+    feats, masks, variables = _init(model, rng)
+    ref, _ = greedy_generate(
+        model, variables, feats, masks, max_len=MAX_LEN, start_id=2,
+        end_id=end_id,
+    )
+    fw, cks, cvs, mem_bias = _prep_decode(
+        model, variables, feats, masks, max_len=MAX_LEN, block_v=256)
+    toks = fused_sequence_decode(
+        fw["emb"], fw["pe"], cks, cvs, mem_bias, fw,
+        heads=fw["heads"], max_len=MAX_LEN, start_id=2, end_id=end_id,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
+
+
+def test_sequence_kernel_opt_in_dispatch(rng):
+    """greedy_generate_fused(sequence_kernel=True) routes through the
+    single-launch kernel and stays token-exact (jit boundary included).
+    (Opt-in for now: the relay-side Mosaic still rejects parts of the
+    in-kernel loop body on real hardware.)"""
+    model = _model()
+    feats, masks, variables = _init(model, rng)
+    ref, _ = greedy_generate(
+        model, variables, feats, masks, max_len=MAX_LEN, start_id=2, end_id=7,
+    )
+    toks, _ = greedy_generate_fused(
+        model, variables, feats, masks, max_len=MAX_LEN, start_id=2, end_id=7,
+        sequence_kernel=True, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))

@@ -29,6 +29,7 @@ from vct_tpu.ops.pallas_decode import (
     fused_layers_step,
     fused_norm_generator_argmax,
     fused_norm_generator_topk,
+    fused_sequence_decode,
     fused_whole_step,
 )
 
@@ -298,6 +299,7 @@ def greedy_generate_fused(
     block_b: Optional[int] = None,
     block_v: int = 1024,
     single_kernel: Optional[bool] = None,
+    sequence_kernel: Optional[bool] = None,
     interpret: bool = False,
 ):
     """-> (tokens [B, max_len] int32, None) — fused-kernel greedy decode.
@@ -306,8 +308,35 @@ def greedy_generate_fused(
     ``single_kernel=None`` auto-selects the whole-step kernel (stack +
     generator + argmax in ONE launch, ``fused_whole_step``) for small
     batches (<= 64), where the generator weight fits in VMEM and launch
-    count dominates — at B=1 it nearly halves single-video latency."""
+    count dominates — at B=1 it nearly halves single-video latency.
+    ``sequence_kernel=None`` auto-selects the single-LAUNCH path for B <= 8
+    (``ops.pallas_decode.fused_sequence_decode``): the ENTIRE generation in
+    one pallas_call — weights fetched into VMEM once, KV caches in VMEM
+    scratch, one embedding-row DMA per token — which removes the ~1 ms/token
+    launch+glue overhead that dominates single-video latency."""
     b_in = video_feats[0].shape[0]
+    if sequence_kernel is None:
+        # opt-in only: token-exact in interpret mode, but the current
+        # relay-side Mosaic rejects parts of the in-kernel scf.for body
+        # (jnp.argmax was one, fixed; legalization of the full body on real
+        # hardware is still being chased), so auto-dispatch stays on the
+        # per-token whole-step kernel
+        sequence_kernel = False
+    if sequence_kernel:
+        if b_in > 32:
+            raise ValueError(
+                f"sequence kernel is a single batch tile (B <= 32), got {b_in}"
+            )
+        fw, cks, cvs, mem_bias = _prep_decode(
+            model, variables, video_feats, video_masks,
+            max_len=max_len, block_v=block_v,
+        )
+        tokens = fused_sequence_decode(
+            fw["emb"], fw["pe"], cks, cvs, mem_bias, fw,
+            heads=fw["heads"], max_len=max_len, start_id=start_id,
+            end_id=end_id, pad_id=pad_id, interpret=interpret,
+        )
+        return tokens, None
     block_b, single_kernel = _resolve_tiling(b_in, block_b, single_kernel)
     fw, cks, cvs, mem_bias = _prep_decode(
         model, variables, video_feats, video_masks,
@@ -474,31 +503,70 @@ def beam_generate_fused(
     """
     k = beam_size
     b_feat = video_feats[0].shape[0]
-    bk = b_feat * k
-    block_b, _ = _resolve_tiling(bk, block_b, False)
+    block_b, _ = _resolve_tiling(b_feat * k, block_b, False)
+    fw, cks, cvs, mem_bias = _beam_prep(
+        model, variables, video_feats, video_masks, k, max_len, block_v)
+    return _beam_loop(
+        fw, cks, cvs, mem_bias,
+        heads=fw["heads"], beam_size=k, max_len=max_len,
+        start_id=start_id, end_id=end_id, pad_id=pad_id,
+        length_penalty=length_penalty, block_b=block_b, block_v=block_v,
+        interpret=interpret,
+    )
 
+
+def _beam_prep(model, variables, video_feats, video_masks, k, max_len, block_v):
+    """Encode + per-beam memory broadcast + kernel-layout cache prep
+    -> (fw, cks [NL, Tm_pad, B*K, E], cvs, mem_bias [B*K, Tm_pad])."""
     fw = extract_fast_weights(model, variables, block_v=block_v)
-    heads = fw["heads"]
-    dt = model.dtype
     e = model.config.embed_dim
-
     memory, mem_mask, _ = model.apply(
         variables, list(video_feats), list(video_masks) if video_masks else None,
         method=MMT4Caption.encode,
     )
     b, tm = memory.shape[0], memory.shape[1]
     # replicate memory per beam (cross K/V identical across beams, never
-    # regathered — matching decode.beam_generate)
-    memory_k = jnp.broadcast_to(memory[:, None], (b, k, tm, e)).reshape(bk, tm, e)
+    # regathered — matching decode.beam_generate); (b, k) flattened row-major
+    # so one video's beams are contiguous (and land on one shard when the
+    # flat axis splits over 'data')
+    memory_k = jnp.broadcast_to(memory[:, None], (b, k, tm, e)).reshape(b * k, tm, e)
     mem_mask_k = None
     if mem_mask is not None:
         mem_mask_k = jnp.broadcast_to(
-            mem_mask[:, None], (b, k, tm)).reshape(bk, tm)
+            mem_mask[:, None], (b, k, tm)).reshape(b * k, tm)
     cks, cvs, mem_bias = _layout_caches(
         model, variables, memory_k, mem_mask_k, max_len=max_len
     )
+    return fw, cks, cvs, mem_bias
 
-    nl = len(fw["layers"])
+
+def _beam_loop(
+    fw: dict,
+    cks: jnp.ndarray,           # [NL, Tm_pad, B*K, E]
+    cvs: jnp.ndarray,
+    mem_bias: jnp.ndarray,      # [B*K, Tm_pad] fp32
+    *,
+    heads: int,
+    beam_size: int,
+    max_len: int,
+    start_id: int,
+    end_id: int,
+    pad_id: int,
+    length_penalty: float,
+    block_b: int,
+    block_v: int,
+    interpret: bool,
+):
+    """The fused-kernel beam loop over one device's videos -> (tokens
+    [B, max_len], scores [B]). Pure function of arrays — also the body
+    ``beam_generate_fused_sharded`` shard_maps over the data axis (all
+    bookkeeping, including the self-cache regather, is local to a video's
+    k contiguous rows, so shards never communicate)."""
+    k = beam_size
+    nl, _, bk, e = cks.shape
+    b = bk // k
+    dt = cks.dtype
+
     l_pad = _round_up(max_len, 8)
     ks = jnp.zeros((nl, l_pad, bk, e), dt)
     vs = jnp.zeros((nl, l_pad, bk, e), dt)
@@ -589,6 +657,68 @@ def beam_generate_fused(
     )
 
 
+def fused_beam_sharded_supported(b: int, beam_size: int, n_shards: int) -> bool:
+    """b % n keeps each video's k contiguous beam rows on one shard."""
+    return b % n_shards == 0 and fused_beam_supported(b // n_shards, beam_size)
+
+
+def beam_generate_fused_sharded(
+    model: MMT4Caption,
+    variables,
+    video_feats: Sequence[jnp.ndarray],
+    video_masks: Optional[Sequence[jnp.ndarray]],
+    *,
+    mesh,
+    axis: str = "data",
+    beam_size: int = 4,
+    max_len: int = 30,
+    start_id: int = 101,
+    end_id: int = 102,
+    pad_id: int = 0,
+    length_penalty: float = 0.6,
+    block_b: Optional[int] = None,
+    block_v: int = 1024,
+    interpret: bool = False,
+):
+    """Fused beam search on a multi-device mesh -> (tokens, scores): encode
+    + cache prep under GSPMD, then the whole beam loop under one shard_map
+    over the batch axis — each shard runs the unmodified kernels on its
+    B/n videos (k beams each, contiguous on the flat axis), no collectives.
+    Same semantics as ``beam_generate_fused``."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis]
+    k = beam_size
+    b_in = video_feats[0].shape[0]
+    if b_in % n:
+        raise ValueError(f"batch {b_in} not divisible by mesh axis '{axis}'={n}")
+    block_b, _ = _resolve_tiling((b_in // n) * k, block_b, False)
+
+    fw, cks, cvs, mem_bias = _beam_prep(
+        model, variables, video_feats, video_masks, k, max_len, block_v)
+    heads = fw["heads"]
+    fw_arrays = {kk: v for kk, v in fw.items() if kk not in ("layers", "heads")}
+
+    def local(fw_arrays, cks, cvs, mem_bias):
+        return _beam_loop(
+            fw_arrays, cks, cvs, mem_bias,
+            heads=heads, beam_size=k, max_len=max_len,
+            start_id=start_id, end_id=end_id, pad_id=pad_id,
+            length_penalty=length_penalty, block_b=block_b, block_v=block_v,
+            interpret=interpret,
+        )
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(None, None, axis, None), P(None, None, axis, None),
+                  P(axis, None)),
+        out_specs=(P(axis, None), P(axis)),
+        check_rep=False,
+    )
+    return fn(fw_arrays, cks, cvs, mem_bias)
+
+
 def make_fused_beam_fn(model: MMT4Caption, max_len: int, start_id: int,
                        end_id: int, beam_size: int,
                        length_penalty: float = 0.6, *,
@@ -601,6 +731,26 @@ def make_fused_beam_fn(model: MMT4Caption, max_len: int, start_id: int,
         return beam_generate_fused(
             model, variables, video_feats, video_masks,
             beam_size=beam_size, max_len=max_len,
+            start_id=start_id, end_id=end_id, length_penalty=length_penalty,
+            block_b=block_b, interpret=interpret,
+        )
+
+    return fn
+
+
+def make_fused_beam_sharded_fn(
+    model: MMT4Caption, mesh, max_len: int, start_id: int, end_id: int,
+    beam_size: int, length_penalty: float = 0.6, *, axis: str = "data",
+    block_b: Optional[int] = None, interpret: bool = False,
+) -> Callable:
+    """jit(variables, feats, masks) -> (tokens, scores), shard_mapped fused
+    beam over the mesh's ``axis``."""
+
+    @jax.jit
+    def fn(variables, video_feats, video_masks):
+        return beam_generate_fused_sharded(
+            model, variables, video_feats, video_masks,
+            mesh=mesh, axis=axis, beam_size=beam_size, max_len=max_len,
             start_id=start_id, end_id=end_id, length_penalty=length_penalty,
             block_b=block_b, interpret=interpret,
         )

@@ -66,6 +66,10 @@ NEG_INF = -1e30
 LN_EPS = 1e-5
 
 
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
 def _erf(x):
     """Abramowitz-Stegun 7.1.26 rational erf (max abs err 1.5e-7)."""
     a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
@@ -827,3 +831,235 @@ def fused_norm_generator_argmax(
         interpret=interpret,
     )(x, norm_scale, norm_bias, wg, bg)
     return out[0][:, 0]
+
+
+# ---------------------------------------------------------------------------
+# the ENTIRE greedy generation in one launch (small-batch / latency regime)
+# ---------------------------------------------------------------------------
+
+
+def _sequence_decode_kernel(
+    # inputs
+    emb_ref,          # [V, E] ANY (stays in HBM; rows DMA'd per token)
+    pe_ref,           # [L_pad, 1, E] VMEM (leading time axis)
+    ck_ref, cv_ref,   # [NL, Tm_pad, Bt, E] VMEM
+    membias_ref,      # [Bt, Tm_pad] VMEM
+    sel_ref, selt_ref,
+    wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    wcq_ref, bcq_ref, wco_ref, bco_ref,
+    n1s_ref, n1b_ref, n2s_ref, n2b_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, n3s_ref, n3b_ref,
+    ns_ref, nb_ref, wg_ref, bg_ref,
+    # outputs
+    tok_ref,          # [L_pad, Bt] int32
+    # scratch
+    kc_ref, vc_ref,   # [NL, L_pad, Bt, E] VMEM
+    x_ref,            # [Bt, E] VMEM (embedding DMA landing)
+    sem,              # DMA semaphores (Bt,)
+    *, heads: int, nl: int, max_len: int,
+    start_id: int, end_id: int, pad_id: int,
+):
+    """All ``max_len - 1`` greedy steps in ONE launch: weights (decoder
+    stack + generator, ~90 MB bf16 at the flagship) are fetched into VMEM
+    once and reused by every token, the KV caches live in VMEM scratch for
+    the whole generation, and only the token embedding row is DMA'd from
+    HBM per step — the per-token launch/glue overhead of the two-kernel
+    loop (measured ~1 ms/token at B=1 through the relay) disappears.
+
+    Semantics are exactly the module-graph greedy's (decode.greedy_generate):
+    once every row has emitted ``end_id``, remaining positions stay
+    ``pad_id`` (the loop keeps running — Mosaic has no early exit — but
+    writes pads, which is what the exited XLA loop leaves behind)."""
+    e = x_ref.shape[-1]
+    d = e // heads
+    bt = x_ref.shape[0]
+    l_pad = pe_ref.shape[0]
+    sel = sel_ref[...]
+    selt = selt_ref[...]
+    mbias = membias_ref[...].astype(jnp.float32).T
+    dt = kc_ref.dtype
+
+    pos_l = jax.lax.broadcasted_iota(jnp.int32, (l_pad, 1), 0)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (l_pad, bt), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, bt), 1)
+
+    tokens0 = jnp.where(row_iota == 0, start_id, pad_id).astype(jnp.int32)
+    cur0 = jnp.full((1, bt), start_id, jnp.int32)
+    done0 = jnp.zeros((1, bt), jnp.bool_)
+
+    # scratch caches are UNINITIALIZED VMEM: zero them once so future
+    # (masked) rows contribute exactly-zero attention weight instead of
+    # NaN-poisoning the softmax (exp(NEG_INF + NaN*0) is NaN, not 0)
+    kc_ref[...] = jnp.zeros(kc_ref.shape, kc_ref.dtype)
+    vc_ref[...] = jnp.zeros(vc_ref.shape, vc_ref.dtype)
+
+    def step(i, carry):
+        tokens, cur, done = carry
+        # ---- token embedding: one HBM row DMA per batch row --------------
+        dmas = []
+        for r in range(bt):
+            tok_r = jnp.sum(jnp.where(col_iota == r, cur, 0))
+            dma = pltpu.make_async_copy(
+                emb_ref.at[pl.ds(tok_r, 1), :],
+                x_ref.at[pl.ds(r, 1), :],
+                sem.at[r],
+            )
+            dma.start()
+            dmas.append(dma)
+        for dma in dmas:
+            dma.wait()
+        x = x_ref[...]
+        x = jnp.where((cur == pad_id).T, 0.0, x.astype(jnp.float32))
+        x = (x + pe_ref[i].astype(jnp.float32)).astype(dt)
+
+        cbias = jnp.where(pos_l <= i, 0.0, NEG_INF).astype(jnp.float32)
+        for li in range(nl):
+            qkv = _matmul(x, wqkv_ref[li], bqkv_ref[li], jnp.float32)
+            q = qkv[:, :e]
+            kc_ref[li, i] = qkv[:, e:2 * e].astype(dt)
+            vc_ref[li, i] = qkv[:, 2 * e:].astype(dt)
+            # the fresh row is already in the VMEM cache: attend directly
+            sa = _attend_single_query(q, kc_ref[li], vc_ref[li], sel, selt,
+                                      d, cbias)
+            sa = _matmul(sa.astype(dt), wo_ref[li], bo_ref[li], jnp.float32)
+            x1 = _layernorm(x.astype(jnp.float32) + sa, n1s_ref[li], n1b_ref[li])
+            x1c = x1.astype(dt)
+
+            cq = _matmul(x1c, wcq_ref[li], bcq_ref[li], jnp.float32)
+            ca = _attend_single_query(cq, ck_ref[li], cv_ref[li], sel, selt,
+                                      d, mbias)
+            ca = _matmul(ca.astype(dt), wco_ref[li], bco_ref[li], jnp.float32)
+            x2 = _layernorm(x1 + ca, n2s_ref[li], n2b_ref[li])
+            x2c = x2.astype(dt)
+
+            h1 = _matmul(x2c, w1_ref[li], b1_ref[li], jnp.float32)
+            h1 = _gelu_exact(h1).astype(dt)
+            h2 = _matmul(h1, w2_ref[li], b2_ref[li], jnp.float32)
+            x = _layernorm(x2 + h2, n3s_ref[li], n3b_ref[li]).astype(dt)
+
+        yn = _layernorm(x, ns_ref[...], nb_ref[...])
+        logits = jax.lax.dot_general(
+            yn.astype(jnp.float32), wg_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bg_ref[...].astype(jnp.float32)
+        # manual argmax (max + min-index-among-ties == first-win argmax):
+        # some jnp reductions (argmax, all) fail Mosaic legalization in
+        # loop-ish contexts; these primitives are robust everywhere
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        vid = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        nxt = jnp.min(
+            jnp.where(logits == mx, vid, jnp.int32(2**30)), axis=-1
+        ).astype(jnp.int32)[None]                              # [1, Bt]
+
+        all_done = jnp.sum(jnp.where(done, 1, 0)) == bt
+        nxt = jnp.where(all_done, pad_id, nxt)
+        done = jnp.logical_or(done, nxt == end_id)
+        tokens = jnp.where(row_iota == i + 1, jnp.broadcast_to(nxt, (l_pad, bt)),
+                           tokens)
+        return tokens, nxt, done
+
+    # STATICALLY UNROLLED over tokens: an in-kernel scf.for fails Mosaic
+    # legalization on ops the straight-line path handles fine (the
+    # head-split reshape inside the attention, among others), so the token
+    # loop is a Python loop — 29 repeats of the step body as straight-line
+    # code, which also makes every cache-row write and pe read static
+    carry = (tokens0, cur0, done0)
+    for i in range(max_len - 1):
+        carry = step(i, carry)
+    tok_ref[...] = carry[0]
+
+
+def fused_sequence_decode(
+    emb: jnp.ndarray,          # [V, E] token embedding table
+    pe: jnp.ndarray,           # [>=max_len, E] positional table
+    ck: jnp.ndarray,           # [NL, Tm_pad, B, E]
+    cv: jnp.ndarray,
+    mem_bias: jnp.ndarray,     # [B, Tm_pad] fp32
+    weights: dict,             # stacked layers + norm_s/norm_b/wg/bg
+    *,
+    heads: int,
+    max_len: int,
+    start_id: int,
+    end_id: int,
+    pad_id: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """-> tokens [B, max_len] int32 — the WHOLE greedy generation as one
+    pallas_call. B <= 32 (one batch tile; the [E, V_pad] generator + stacked
+    layer weights + per-sequence KV scratch must co-reside in VMEM). This is
+    the designed serving/latency lever: the per-token whole-step loop pays
+    ~1 ms/token of launch+glue at B=1 (31 ms device of the 35.6 ms p50,
+    BENCH_r03), which one launch amortizes away.
+
+    STATUS: token-exact vs the module-graph greedy in interpret mode
+    (tests/test_pallas_decode.py) and opt-in only
+    (``greedy_generate_fused(sequence_kernel=True)``): the toolchain behind
+    this machine's remote-compile relay rejects the kernel (an in-kernel
+    scf.for failed 'failed to legalize operation', and the statically
+    unrolled form trips a Mosaic-internal error), so auto-dispatch keeps the
+    proven per-token whole-step kernel until a toolchain that compiles it."""
+    nl, tm_pad, b, e = ck.shape
+    assert b <= 32, (b, "sequence-decode kernel is a single batch tile")
+    assert e % heads == 0
+    d = e // heads
+    stacked = weights["stacked"]
+    f = stacked["w1"].shape[-1]
+    v_pad = weights["wg"].shape[1]
+    l_pad = _round_up(max_len, 8)
+
+    lane = jnp.arange(e) // d
+    sel = (lane[:, None] == jnp.arange(heads)[None, :]).astype(jnp.float32)
+    selt = sel.T
+
+    pe3 = pe[:l_pad].reshape(l_pad, 1, e).astype(ck.dtype)
+
+    def cs(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda *a: (0,) * nd, memory_space=pltpu.VMEM)
+
+    w = stacked
+    kernel = functools.partial(
+        _sequence_decode_kernel, heads=heads, nl=nl, max_len=max_len,
+        start_id=start_id, end_id=end_id, pad_id=pad_id,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # emb stays in HBM
+            cs((l_pad, 1, e)),
+            cs((nl, tm_pad, b, e)), cs((nl, tm_pad, b, e)),
+            cs((b, tm_pad)),
+            cs((e, heads)), cs((heads, e)),
+            cs((nl, e, 3 * e)), cs((nl, 3 * e)),
+            cs((nl, e, e)), cs((nl, e)),
+            cs((nl, e, e)), cs((nl, e)),
+            cs((nl, e, e)), cs((nl, e)),
+            cs((nl, e)), cs((nl, e)), cs((nl, e)), cs((nl, e)),
+            cs((nl, e, f)), cs((nl, f)),
+            cs((nl, f, e)), cs((nl, e)),
+            cs((nl, e)), cs((nl, e)),
+            cs((e,)), cs((e,)), cs((e, v_pad)), cs((v_pad,)),
+        ],
+        out_specs=pl.BlockSpec((l_pad, b), lambda *a: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((l_pad, b), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((nl, l_pad, b, e), ck.dtype),
+            pltpu.VMEM((nl, l_pad, b, e), ck.dtype),
+            pltpu.VMEM((b, e), ck.dtype),
+            pltpu.SemaphoreType.DMA((b,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        emb.astype(ck.dtype), pe3, ck, cv, mem_bias, sel, selt,
+        w["wqkv"], w["bqkv"], w["wo"], w["bo"],
+        w["wcq"], w["bcq"], w["wco"], w["bco"],
+        w["n1s"], w["n1b"], w["n2s"], w["n2b"],
+        w["w1"], w["b1"], w["w2"], w["b2"], w["n3s"], w["n3b"],
+        weights["norm_s"], weights["norm_b"], weights["wg"], weights["bg"],
+    )
+    return out.T[:, :max_len]
