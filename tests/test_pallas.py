@@ -55,15 +55,29 @@ def test_fused_bf16(rng):
 
 def test_pallas_eligibility():
     """Training (deterministic=False) IS served since the custom_vjp landed;
-    attention-map returns and single-token decode steps stay on XLA."""
+    attention-map returns, single-token decode steps, and SHORT sequences
+    stay on XLA (round-3 measurement: at S=31 the (B, H)-grid kernel costs
+    ~1 ms/call of per-program overhead and XLA is 43% faster end-to-end;
+    the kernel pays only once the [Tq, Tk] score tile is large)."""
     import jax.numpy as jnp
 
     from vct_tpu.ops.attention import _pallas_eligible
 
-    q = jnp.zeros((2, 8, 2, 16))
-    assert not _pallas_eligible(q, deterministic=True, return_weights=True)
+    q = jnp.zeros((2, 256, 2, 16))
+    assert not _pallas_eligible(q, q, deterministic=True, return_weights=True)
     # single-token decode steps stay on XLA
-    assert not _pallas_eligible(q[:, :1], deterministic=True, return_weights=False)
+    assert not _pallas_eligible(q[:, :1], q, deterministic=True,
+                                return_weights=False)
+    # short-sequence training shapes stay on XLA
+    short = jnp.zeros((2, 31, 2, 16))
+    assert not _pallas_eligible(short, short, deterministic=False,
+                                return_weights=False)
+    # long sequences qualify (backend check is the only remaining gate)
+    import jax
+
+    expected = jax.default_backend() == "tpu"
+    assert _pallas_eligible(q, q, deterministic=False,
+                            return_weights=False) == expected
 
 
 def test_grad_through_attention_with_pallas_flag():

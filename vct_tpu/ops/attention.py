@@ -52,14 +52,26 @@ def combine_bias(*biases: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
     return out
 
 
-def _pallas_eligible(q, deterministic, return_weights) -> bool:
+def _pallas_eligible(q, k, deterministic, return_weights) -> bool:
     # Training is served too (round 2): the trainable wrapper carries a
     # custom_vjp with a Pallas backward and in-kernel dropout, so
     # deterministic is no longer a dispatch criterion.
+    #
+    # Shape criterion (round-3 trace finding): the kernel's grid is (B, H) —
+    # one program per batch-head — so at short sequences each program does
+    # [Tq, Tk, D]-sized work that is dwarfed by per-program overhead. At the
+    # flagship's training shapes (S=31, B=256) the 8 kernel calls cost
+    # ~8.3 ms/step against near-zero analytic FLOPs, and switching them to
+    # XLA took the train step 51.8 -> 36.3 ms (+43% samples/s, identical
+    # loss). The kernel's win is avoiding the [B, H, Tq, Tk] logits HBM
+    # round-trip, which only pays once the score tile is large; gate on
+    # Tq*Tk >= 128*128 so long-sequence configs keep the fused path while
+    # the short caption/frame sequences ride XLA's fusions.
     del deterministic
     return (
         not return_weights
         and q.shape[1] > 1  # single-token decode steps are matvecs; XLA wins
+        and q.shape[1] * k.shape[1] >= 128 * 128
         and jax.default_backend() == "tpu"
     )
 
@@ -88,7 +100,7 @@ def dot_product_attention(
     ambient state and is consulted ONLY by models that set
     ``partition_kernels``; models that never opted in are unaffected by it.
     """
-    if use_pallas and _pallas_eligible(q, deterministic, return_weights):
+    if use_pallas and _pallas_eligible(q, k, deterministic, return_weights):
         from vct_tpu.ops.pallas_attention import (
             fused_attention_trainable,
             fused_attention_trainable_sharded,
