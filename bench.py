@@ -355,6 +355,9 @@ def bf16_numerics_guard(variables, feats, masks) -> str:
 
 
 def main() -> None:
+    from vct_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     # warm the device + transfer path (first host transfer can take ~60s on
     # the tunneled TPU; everything after is steady-state)
     np.asarray(jax.jit(lambda x: x * 2)(jnp.ones((8, 128))))
@@ -516,6 +519,11 @@ def main() -> None:
                 "train_mfu": round(train_mfu, 4),
                 "decode_mfu": round(decode_mfu, 4),
                 "module_path_captions_per_sec": round(module_cps, 2),
+                "reference_algo_captions_per_sec": round(ref_cps, 2),
+                # the baseline is re-measured every run on the same stack, so
+                # framework-wide wins (e.g. round-3's shape-aware attention
+                # dispatch) speed the reference algorithm up too and can
+                # SHRINK vs_baseline while absolute throughput rises
                 "decode_batch_latency_ms": round(seq_secs * 1000, 2),
                 "train_batch": TRAIN_B,
                 "bf16_guard": guard,

@@ -393,6 +393,82 @@ def test_sequence_kernel_token_exact(rng, end_id):
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
 
 
+@pytest.mark.parametrize("end_id", [-1, 7])
+def test_multi_step_token_exact(rng, end_id):
+    """greedy_generate_multi (``unroll`` tokens per kernel launch via
+    fused_multi_step) reproduces the module-graph greedy exactly, with and
+    without early finishing (the caller re-applies the
+    all-rows-finished -> PAD semantics between windows)."""
+    from vct_tpu.decode_fast import greedy_generate_multi
+
+    model = _model()
+    feats, masks, variables = _init(model, rng)
+    ref, _ = greedy_generate(
+        model, variables, feats, masks, max_len=MAX_LEN, start_id=2,
+        end_id=end_id,
+    )
+    toks, _ = greedy_generate_multi(
+        model, variables, feats, masks, max_len=MAX_LEN, start_id=2,
+        end_id=end_id, unroll=4, block_b=2, block_v=256, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
+
+
+def test_multi_step_quirk_unroll2(rng):
+    """unroll=2 window size and the no-memory-mask quirk variant stay
+    token-exact (three-layer stack exercises the per-layer patch lists)."""
+    from vct_tpu.decode_fast import greedy_generate_multi
+
+    model = _model(quirk=True, dec_layers=3)
+    feats, masks, variables = _init(model, rng)
+    ref, _ = greedy_generate(
+        model, variables, feats, masks, max_len=8, start_id=2, end_id=-1,
+    )
+    toks, _ = greedy_generate_multi(
+        model, variables, feats, masks, max_len=8, start_id=2, end_id=-1,
+        unroll=2, block_b=4, block_v=256, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
+
+
+def test_multi_step_dispatch(rng):
+    """greedy_generate_fused(multi_step=u) routes through the multi-token
+    kernel and stays token-exact (jit boundary included)."""
+    model = _model()
+    feats, masks, variables = _init(model, rng)
+    ref, _ = greedy_generate(
+        model, variables, feats, masks, max_len=MAX_LEN, start_id=2, end_id=7,
+    )
+    toks, _ = greedy_generate_fused(
+        model, variables, feats, masks, max_len=MAX_LEN, start_id=2, end_id=7,
+        multi_step=2, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
+
+
+def test_auto_beam_dispatch_sharded(rng):
+    """make_auto_beam_fn on a data-only multi-device mesh with
+    tpu.pallas_partition_kernels routes through the shard_mapped fused beam
+    and matches the module-graph GSPMD beam token-for-token."""
+    from vct_tpu.decode import make_auto_beam_fn, make_beam_fn
+    from vct_tpu.parallel.mesh import make_mesh, replicate, shard_batch_arrays
+
+    cfg = _model().config
+    model = MMT4Caption(cfg, TPUConfig(pallas_partition_kernels=True))
+    b, k = 16, 3
+    feats, masks, variables = _init_wide(model, rng, b)
+    mesh = make_mesh()
+
+    ref_fn = make_beam_fn(model, MAX_LEN, 2, -1, k)
+    ref_t, _ = ref_fn(variables, feats, masks)
+
+    auto_fn = make_auto_beam_fn(model, MAX_LEN, 2, -1, k, mesh=mesh,
+                                interpret=True)
+    tok, _ = auto_fn(replicate(mesh, variables), shard_batch_arrays(mesh, feats),
+                     shard_batch_arrays(mesh, masks))
+    np.testing.assert_array_equal(np.asarray(tok), np.asarray(ref_t))
+
+
 def test_sequence_kernel_opt_in_dispatch(rng):
     """greedy_generate_fused(sequence_kernel=True) routes through the
     single-launch kernel and stays token-exact (jit boundary included).

@@ -36,6 +36,9 @@ def configure_hardware(args: argparse.Namespace) -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from vct_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
 
 def make_trainer_pieces(cfg: Config):

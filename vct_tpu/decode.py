@@ -324,21 +324,44 @@ def make_auto_beam_fn(model: MMT4Caption, max_len: int, start_id: int,
                       end_id: int, beam_size: int,
                       length_penalty: float = 0.6, mesh=None,
                       interpret: bool = False) -> Callable:
-    """Beam search on the fastest eligible path: the fused decode kernels on
-    a single TPU chip (one stack launch + one norm/generator/top-k launch
-    per token — the [B*K, vocab] log-softmax never hits HBM), the
-    module-graph GSPMD program on a multi-device mesh or off-TPU, or for
-    batch*beam sizes the kernels can't tile."""
+    """Beam search on the fastest eligible path: the fused decode kernels
+    (one stack launch + one norm/generator/top-k launch per token — the
+    [B*K, vocab] log-softmax never hits HBM), shard_mapped over 'data' on a
+    multi-device mesh when the model opted in via
+    ``tpu.pallas_partition_kernels`` (data-only meshes; TP shards the
+    decoder weights, so TP meshes run the module-graph GSPMD program), and
+    the module-graph program off-TPU or for batch*beam sizes the kernels
+    can't tile."""
     module_fn = make_beam_fn(model, max_len, start_id, end_id, beam_size,
                              length_penalty)
     on_tpu = jax.default_backend() == "tpu" or interpret
     if not model.tpu.use_pallas_attention or not on_tpu:
         return module_fn
     if mesh is not None and mesh.size > 1:
-        # multi-device: GSPMD shards the module-graph beam; shard_mapping
-        # the beam kernels would also need the cache regather inside the
-        # shard, which is batch-local and safe, but is not wired yet
-        return module_fn
+        if (
+            not model.tpu.pallas_partition_kernels
+            or mesh.shape.get("model", 1) > 1
+        ):
+            return module_fn
+
+        from vct_tpu.decode_fast import (
+            fused_beam_sharded_supported,
+            make_fused_beam_sharded_fn,
+        )
+
+        n = mesh.shape["data"]
+        fused_fn = make_fused_beam_sharded_fn(
+            model, mesh, max_len, start_id, end_id, beam_size, length_penalty,
+            interpret=interpret)
+
+        def fn(variables, video_feats, video_masks):
+            if fused_beam_sharded_supported(
+                video_feats[0].shape[0], beam_size, n
+            ):
+                return fused_fn(variables, video_feats, video_masks)
+            return module_fn(variables, video_feats, video_masks)
+
+        return fn
 
     from vct_tpu.decode_fast import fused_beam_supported, make_fused_beam_fn
 

@@ -300,6 +300,7 @@ def greedy_generate_fused(
     block_v: int = 1024,
     single_kernel: Optional[bool] = None,
     sequence_kernel: Optional[bool] = None,
+    multi_step: Optional[int] = None,
     interpret: bool = False,
 ):
     """-> (tokens [B, max_len] int32, None) — fused-kernel greedy decode.
@@ -309,18 +310,32 @@ def greedy_generate_fused(
     generator + argmax in ONE launch, ``fused_whole_step``) for small
     batches (<= 64), where the generator weight fits in VMEM and launch
     count dominates — at B=1 it nearly halves single-video latency.
-    ``sequence_kernel=None`` auto-selects the single-LAUNCH path for B <= 8
-    (``ops.pallas_decode.fused_sequence_decode``): the ENTIRE generation in
-    one pallas_call — weights fetched into VMEM once, KV caches in VMEM
-    scratch, one embedding-row DMA per token — which removes the ~1 ms/token
-    launch+glue overhead that dominates single-video latency."""
+    ``multi_step=u`` (B <= 32) decodes ``u`` tokens per launch
+    (``greedy_generate_multi``): measured at B=1 on v5e it trims p50
+    34.7 -> 33.0 ms (u=2) / 32.9 ms (u=4) — a real but small win that
+    PROVES launch overhead is not the B=1 bottleneck (the kernel body is;
+    see docs/PERF.md) — at a 55 s (u=2) / 334 s (u=4) one-time compile,
+    amortized by the persistent compilation cache
+    (``vct_tpu.utils.enable_compilation_cache``). Off by default.
+    ``sequence_kernel=True`` is the ENTIRE generation in one pallas_call
+    (``ops.pallas_decode.fused_sequence_decode``): weights fetched into
+    VMEM once, KV caches in VMEM scratch, one embedding-group DMA per
+    token."""
     b_in = video_feats[0].shape[0]
+    if multi_step:
+        if sequence_kernel:
+            raise ValueError("multi_step and sequence_kernel are exclusive")
+        return greedy_generate_multi(
+            model, variables, video_feats, video_masks, max_len=max_len,
+            start_id=start_id, end_id=end_id, pad_id=pad_id,
+            unroll=multi_step, block_v=block_v, interpret=interpret,
+        )
     if sequence_kernel is None:
-        # opt-in only: token-exact in interpret mode, but the current
-        # relay-side Mosaic rejects parts of the in-kernel scf.for body
-        # (jnp.argmax was one, fixed; legalization of the full body on real
-        # hardware is still being chased), so auto-dispatch stays on the
-        # per-token whole-step kernel
+        # opt-in only: token-exact in interpret mode; the two Mosaic
+        # blockers (misaligned 1-row embedding slice, i1 transpose) are
+        # fixed — the 29-step straight-line body now LOWERS, but its
+        # one-time compile exceeds 10 min on the relay toolchain, so
+        # auto-dispatch stays on the per-token whole-step kernel
         sequence_kernel = False
     if sequence_kernel:
         if b_in > 32:
@@ -756,3 +771,101 @@ def make_fused_beam_sharded_fn(
         )
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# multi-token-per-launch greedy (latency regime)
+# ---------------------------------------------------------------------------
+
+
+def greedy_generate_multi(
+    model: MMT4Caption,
+    variables,
+    video_feats: Sequence[jnp.ndarray],
+    video_masks: Optional[Sequence[jnp.ndarray]],
+    *,
+    max_len: int = 30,
+    start_id: int = 101,
+    end_id: int = 102,
+    pad_id: int = 0,
+    unroll: int = 4,
+    block_b: int = 32,
+    block_v: int = 1024,
+    interpret: bool = False,
+    ablate: frozenset = frozenset(),
+):
+    """-> (tokens [B, max_len], None): greedy decode at ``unroll`` tokens per
+    kernel launch (``ops.pallas_decode.fused_multi_step``) for the B <= 32
+    regime. The kernel emits raw argmax chains; the
+    all-rows-finished -> PAD quirk (reference ``MMT4Caption.py:163-172``) is
+    applied here between windows, so the result is token-exact with
+    ``decode.greedy_generate`` (verified on real v5e, not just interpret).
+
+    Measured at B=1 (v5e, 30 tokens): p50 34.7 ms (whole-step baseline) ->
+    33.0 ms (u=2) / 32.9 ms (u=4). Cutting launches 29 -> 8 moved p50 only
+    ~5%, which pins the B=1 floor on the kernel BODY — every token streams
+    all ~87 MB of decoder+generator weights through row-padded MXU tiles —
+    not on launch overhead; docs/PERF.md has the roofline."""
+    from vct_tpu.ops.pallas_decode import fused_multi_step, group_embed_rows
+
+    b = video_feats[0].shape[0]
+    u = unroll
+    if b > 32:
+        raise ValueError(f"multi-step decode serves B <= 32, got {b}")
+    fw, cks, cvs, mem_bias = _prep_decode(
+        model, variables, video_feats, video_masks,
+        max_len=max_len, block_v=block_v,
+    )
+    e = model.config.embed_dim
+    dt = model.dtype
+    nl = len(fw["layers"])
+    l_pad = _round_up(max_len, 8)
+    assert l_pad % u == 0, (l_pad, u)
+    ks = jnp.zeros((nl, l_pad, b, e), dt)
+    vs = jnp.zeros((nl, l_pad, b, e), dt)
+    pe3 = fw["pe"][:l_pad].reshape(l_pad, 1, e).astype(dt)
+    emb3 = group_embed_rows(fw["emb"].astype(dt))  # grouped once, not per window
+
+    # +u slack columns absorb the last window's overshoot past max_len
+    tokens = jnp.full((b, l_pad + u), pad_id, jnp.int32).at[:, 0].set(start_id)
+    cur = jnp.full((b,), start_id, jnp.int32)
+    done = jnp.zeros((b,), bool)
+
+    def make_cond(hi_w):
+        def cond(state):
+            w, _, _, done, _, _ = state
+            return jnp.logical_and(w < hi_w, ~jnp.all(done))
+        return cond
+
+    def make_body(l_view):
+        def body(state):
+            w, tokens, cur, done, ks, vs = state
+            toks_u, ks, vs = fused_multi_step(
+                cur, ks, vs, cks, cvs, mem_bias, emb3, pe3, fw, w,
+                heads=fw["heads"], unroll=u, block_b=block_b,
+                l_view=l_view, interpret=interpret, ablate=ablate,
+            )
+            # all-finished -> PAD semantics, step by step (static unroll)
+            i0 = w * u
+            for j in range(u):
+                tok_j = jnp.where(jnp.all(done), pad_id, toks_u[:, j])
+                tokens = jax.lax.dynamic_update_slice_in_dim(
+                    tokens, tok_j[:, None], i0 + j + 1, axis=1
+                )
+                done = jnp.logical_or(done, tok_j == end_id)
+                cur = tok_j
+            return w + 1, tokens, cur, done, ks, vs
+        return body
+
+    n_windows = -(-(max_len - 1) // u)
+    state = (jnp.asarray(0, jnp.int32), tokens, cur, done, ks, vs)
+    # stage through growing cache windows (8-row aligned, like the
+    # per-token loop); l_view covers every row the stage's windows touch
+    hi_w = 0
+    while hi_w < n_windows:
+        lo_w = hi_w
+        hi_w = min(lo_w + max(8 // u, 1), n_windows)
+        l_view = min(_round_up(hi_w * u, 8), l_pad)
+        state = jax.lax.while_loop(make_cond(hi_w), make_body(l_view), state)
+    _, tokens, _, _, _, _ = state
+    return tokens[:, :max_len], None

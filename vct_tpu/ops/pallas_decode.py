@@ -840,7 +840,8 @@ def fused_norm_generator_argmax(
 
 def _sequence_decode_kernel(
     # inputs
-    emb_ref,          # [V, E] ANY (stays in HBM; rows DMA'd per token)
+    emb_ref,          # [V8/8, 8, E] ANY (stays in HBM; aligned 8-row-group
+                      # DMA per token — see group_embed_rows)
     pe_ref,           # [L_pad, 1, E] VMEM (leading time axis)
     ck_ref, cv_ref,   # [NL, Tm_pad, Bt, E] VMEM
     membias_ref,      # [Bt, Tm_pad] VMEM
@@ -854,7 +855,7 @@ def _sequence_decode_kernel(
     tok_ref,          # [L_pad, Bt] int32
     # scratch
     kc_ref, vc_ref,   # [NL, L_pad, Bt, E] VMEM
-    x_ref,            # [Bt, E] VMEM (embedding DMA landing)
+    g_ref,            # [Bt, 8, E] VMEM (embedding group-DMA landing)
     sem,              # DMA semaphores (Bt,)
     *, heads: int, nl: int, max_len: int,
     start_id: int, end_id: int, pad_id: int,
@@ -870,9 +871,9 @@ def _sequence_decode_kernel(
     once every row has emitted ``end_id``, remaining positions stay
     ``pad_id`` (the loop keeps running — Mosaic has no early exit — but
     writes pads, which is what the exited XLA loop leaves behind)."""
-    e = x_ref.shape[-1]
+    e = g_ref.shape[-1]
     d = e // heads
-    bt = x_ref.shape[0]
+    bt = g_ref.shape[0]
     l_pad = pe_ref.shape[0]
     sel = sel_ref[...]
     selt = selt_ref[...]
@@ -895,21 +896,28 @@ def _sequence_decode_kernel(
 
     def step(i, carry):
         tokens, cur, done = carry
-        # ---- token embedding: one HBM row DMA per batch row --------------
+        # ---- token embedding: one aligned 8-row-group DMA per batch row --
         dmas = []
         for r in range(bt):
             tok_r = jnp.sum(jnp.where(col_iota == r, cur, 0))
             dma = pltpu.make_async_copy(
-                emb_ref.at[pl.ds(tok_r, 1), :],
-                x_ref.at[pl.ds(r, 1), :],
+                emb_ref.at[pl.ds(tok_r // 8, 1)],
+                g_ref.at[pl.ds(r, 1)],
                 sem.at[r],
             )
             dma.start()
             dmas.append(dma)
         for dma in dmas:
             dma.wait()
-        x = x_ref[...]
-        x = jnp.where((cur == pad_id).T, 0.0, x.astype(jnp.float32))
+        # transpose the int32 BEFORE comparing: tpu.transpose on an i1
+        # vector fails Mosaic legalization
+        cur_t = cur.T                                           # [Bt, 1] i32
+        pick = (jax.lax.broadcasted_iota(jnp.int32, (bt, 8, 1), 1)
+                == (cur_t % 8)[:, :, None])
+        x = jnp.sum(
+            jnp.where(pick, g_ref[...].astype(jnp.float32), 0.0), axis=1
+        )
+        x = jnp.where(cur_t == pad_id, 0.0, x)
         x = (x + pe_ref[i].astype(jnp.float32)).astype(dt)
 
         cbias = jnp.where(pos_l <= i, 0.0, NEG_INF).astype(jnp.float32)
@@ -993,11 +1001,16 @@ def fused_sequence_decode(
 
     STATUS: token-exact vs the module-graph greedy in interpret mode
     (tests/test_pallas_decode.py) and opt-in only
-    (``greedy_generate_fused(sequence_kernel=True)``): the toolchain behind
-    this machine's remote-compile relay rejects the kernel (an in-kernel
-    scf.for failed 'failed to legalize operation', and the statically
-    unrolled form trips a Mosaic-internal error), so auto-dispatch keeps the
-    proven per-token whole-step kernel until a toolchain that compiles it."""
+    (``greedy_generate_fused(sequence_kernel=True)``). The two Mosaic
+    rejections are root-caused and fixed: (1) a 1-row slice of the 2D
+    [V, E] embedding HBM memref violates the (8,128) tiling — fixed by the
+    aligned 8-row-group gather (``group_embed_rows``); (2) tpu.transpose on
+    an i1 vector fails legalization — fixed by transposing the int32 token
+    row BEFORE comparing. The 4-token ``fused_multi_step`` sibling now
+    compiles AND runs token-exact on real v5e; this 29-step body lowers but
+    its one-time compile exceeds 10 min on the relay toolchain (compile
+    time grows superlinearly with unroll: 55 s at u=2, 334 s at u=4), so
+    auto-dispatch keeps the per-token whole-step kernel."""
     nl, tm_pad, b, e = ck.shape
     assert b <= 32, (b, "sequence-decode kernel is a single batch tile")
     assert e % heads == 0
@@ -1047,7 +1060,7 @@ def fused_sequence_decode(
         scratch_shapes=[
             pltpu.VMEM((nl, l_pad, b, e), ck.dtype),
             pltpu.VMEM((nl, l_pad, b, e), ck.dtype),
-            pltpu.VMEM((b, e), ck.dtype),
+            pltpu.VMEM((b, 8, e), ck.dtype),
             pltpu.SemaphoreType.DMA((b,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -1055,7 +1068,7 @@ def fused_sequence_decode(
         ),
         interpret=interpret,
     )(
-        emb.astype(ck.dtype), pe3, ck, cv, mem_bias, sel, selt,
+        group_embed_rows(emb.astype(ck.dtype)), pe3, ck, cv, mem_bias, sel, selt,
         w["wqkv"], w["bqkv"], w["wo"], w["bo"],
         w["wcq"], w["bcq"], w["wco"], w["bco"],
         w["n1s"], w["n1b"], w["n2s"], w["n2b"],
@@ -1063,3 +1076,300 @@ def fused_sequence_decode(
         weights["norm_s"], weights["norm_b"], weights["wg"], weights["bg"],
     )
     return out.T[:, :max_len]
+
+
+# ---------------------------------------------------------------------------
+# u tokens per launch (straight-line unroll; launch-overhead amortization)
+# ---------------------------------------------------------------------------
+
+
+def group_embed_rows(emb: jnp.ndarray) -> jnp.ndarray:
+    """[V, E] -> [ceil(V/8)*8/8, 8, E]: the aligned-group layout the decode
+    kernels' per-token embedding DMA requires. A 1-row slice of a 2D [V, E]
+    HBM memref trips Mosaic ("slice along dimension 0 must be aligned to
+    tiling (8)"); grouping rows by 8 makes the gathered axis a leading
+    UNTILED dim, so a 1-group slice is legal, and the kernel selects the
+    row inside the group in-register."""
+    v, e = emb.shape
+    v8 = -(-v // 8) * 8
+    if v8 != v:
+        emb = jnp.pad(emb, ((0, v8 - v), (0, 0)))
+    return emb.reshape(v8 // 8, 8, e)
+
+
+def _attend_multi_patch(q, kc, vc, sel, selt, d, kbias, patches):
+    """One-query attention over an [L, Bt, E] cache tile where rows at
+    ``patches = [(pos, k1, v1), ...]`` are stale zeros in the tile and are
+    patched in from registers (generalizes ``_attend_single_query``'s single
+    fresh row to this window's rows). -> [Bt, E] fp32."""
+    l, bt, e = kc.shape
+    qf = q.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.asarray(d, jnp.float32))
+    prod = qf[None] * kc.astype(jnp.float32)
+    logits = _heads_dot(prod.reshape(l * bt, e), sel).reshape(l, bt, sel.shape[1])
+    logits = logits * scale
+    pos = jax.lax.broadcasted_iota(jnp.int32, (l, 1, 1), 0)
+    for p, k1, _v1 in patches:
+        lf = _heads_dot(qf * k1.astype(jnp.float32), sel) * scale
+        logits = jnp.where(pos == p, lf[None], logits)
+    logits = logits + kbias[:, :, None]
+    m = jnp.max(logits, axis=0, keepdims=True)
+    ex = jnp.exp(logits - m)
+    w = ex / jnp.sum(ex, axis=0, keepdims=True)
+    w_e = _heads_dot(w.reshape(l * bt, sel.shape[1]), selt).reshape(l, bt, e)
+    out = jnp.sum(w_e * vc.astype(jnp.float32), axis=0)
+    for p, _k1, v1 in patches:
+        wf = jnp.sum(jnp.where(pos == p, w_e, 0.0), axis=0)
+        out = out + wf * v1.astype(jnp.float32)
+    return out
+
+
+def _multi_step_kernel(
+    # scalar prefetch: window index w (token position i0 = w * u)
+    w_ref,
+    # inputs
+    emb_ref,          # [V8/8, 8, E] ANY (HBM; aligned 8-row-group DMA per
+                      # token — a 1-row slice of a 2D [V, E] memref trips
+                      # Mosaic's "slice must be aligned to tiling (8)"; the
+                      # leading group axis is untiled, so slicing it is free)
+    pe_ref,           # [L_pad, 1, E] VMEM
+    cur_ref,          # [1, Bt] int32 — the window's first input token
+    k_ref, v_ref,     # [NL, l_view, Bt, E] VMEM (rows >= i0 are zeros)
+    ck_ref, cv_ref,   # [NL, Tm_pad, Bt, E]
+    membias_ref, sel_ref, selt_ref,
+    wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+    wcq_ref, bcq_ref, wco_ref, bco_ref,
+    n1s_ref, n1b_ref, n2s_ref, n2b_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, n3s_ref, n3b_ref,
+    ns_ref, nb_ref, wg_ref, bg_ref,
+    # outputs
+    tok_ref,          # [Bt, U] int32 (this window's raw argmax chain)
+    krow_ref, vrow_ref,  # [NL, U, Bt, E] aliased window blocks
+    # scratch
+    g_ref,            # [Bt, 8, E] — the gathered embedding row groups
+    sem,              # DMA semaphores (Bt,)
+    *, heads: int, nl: int, u: int, ablate: frozenset = frozenset(),
+):
+    """``u`` consecutive greedy steps in ONE launch, statically unrolled
+    (no in-kernel scf.for — see fused_sequence_decode's STATUS note). The
+    kernel emits the raw argmax chain; the caller applies the
+    all-rows-finished -> PAD semantics in XLA between windows, which is
+    exact because every in-window step after a global finish gets
+    overwritten to PAD there anyway."""
+    e = g_ref.shape[-1]
+    d = e // heads
+    bt = g_ref.shape[0]
+    dt = k_ref.dtype
+    i0 = w_ref[0] * u
+    sel = sel_ref[...]
+    selt = selt_ref[...]
+    mbias = membias_ref[...].astype(jnp.float32).T
+    l = k_ref.shape[1]
+    pos_l = jax.lax.broadcasted_iota(jnp.int32, (l, 1), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, bt), 1)
+
+    cur = cur_ref[...]
+    fresh = [[] for _ in range(nl)]  # per layer: [(pos, k1, v1), ...]
+    outs = []
+    for j in range(u):
+        if "dma" in ablate:  # toolchain bisect: skip the embedding gather
+            x = cur.T.astype(jnp.float32) * jnp.float32(1e-4)
+        else:
+            dmas = []
+            for r in range(bt):
+                tok_r = jnp.sum(jnp.where(col_iota == r, cur, 0))
+                dma = pltpu.make_async_copy(
+                    emb_ref.at[pl.ds(tok_r // 8, 1)],
+                    g_ref.at[pl.ds(r, 1)],
+                    sem.at[r],
+                )
+                dma.start()
+                dmas.append(dma)
+            for dma in dmas:
+                dma.wait()
+            # each row's group holds its token at position cur % 8.
+            # transpose the int32 BEFORE comparing: tpu.transpose on an i1
+            # vector fails Mosaic legalization
+            cur_t = cur.T                                       # [Bt, 1] i32
+            pick = (jax.lax.broadcasted_iota(jnp.int32, (bt, 8, 1), 1)
+                    == (cur_t % 8)[:, :, None])
+            x = jnp.sum(
+                jnp.where(pick, g_ref[...].astype(jnp.float32), 0.0), axis=1
+            )
+            x = jnp.where(cur_t == 0, 0.0, x)
+        x = (x + pe_ref[i0 + j].astype(jnp.float32)).astype(dt)
+
+        cbias = jnp.where(pos_l <= i0 + j, 0.0, NEG_INF).astype(jnp.float32)
+        for li in range(nl):
+            qkv = _matmul(x, wqkv_ref[li], bqkv_ref[li], jnp.float32)
+            q = qkv[:, :e]
+            k1 = qkv[:, e:2 * e].astype(dt)
+            v1 = qkv[:, 2 * e:].astype(dt)
+            krow_ref[li, j] = k1
+            vrow_ref[li, j] = v1
+            fresh[li].append((i0 + j, k1, v1))
+            if "patch" in ablate:  # toolchain bisect: no register patching
+                sa = _attend_single_query(q, k_ref[li], v_ref[li], sel, selt,
+                                          d, cbias)
+            else:
+                sa = _attend_multi_patch(q, k_ref[li], v_ref[li], sel, selt,
+                                         d, cbias, fresh[li])
+            sa = _matmul(sa.astype(dt), wo_ref[li], bo_ref[li], jnp.float32)
+            x1 = _layernorm(x.astype(jnp.float32) + sa, n1s_ref[li], n1b_ref[li])
+            x1c = x1.astype(dt)
+
+            cq = _matmul(x1c, wcq_ref[li], bcq_ref[li], jnp.float32)
+            ca = _attend_single_query(cq, ck_ref[li], cv_ref[li], sel, selt,
+                                      d, mbias)
+            ca = _matmul(ca.astype(dt), wco_ref[li], bco_ref[li], jnp.float32)
+            x2 = _layernorm(x1 + ca, n2s_ref[li], n2b_ref[li])
+            x2c = x2.astype(dt)
+
+            h1 = _matmul(x2c, w1_ref[li], b1_ref[li], jnp.float32)
+            h1 = _gelu_exact(h1).astype(dt)
+            h2 = _matmul(h1, w2_ref[li], b2_ref[li], jnp.float32)
+            x = _layernorm(x2 + h2, n3s_ref[li], n3b_ref[li]).astype(dt)
+
+        yn = _layernorm(x, ns_ref[...], nb_ref[...])
+        if "gen" in ablate:  # toolchain bisect: no generator/argmax
+            nxt = jnp.sum(yn, axis=-1).astype(jnp.int32).reshape(1, bt) % 97
+        else:
+            logits = jax.lax.dot_general(
+                yn.astype(jnp.float32), wg_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bg_ref[...].astype(jnp.float32)
+            mx = jnp.max(logits, axis=-1, keepdims=True)
+            vid = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            nxt = jnp.min(
+                jnp.where(logits == mx, vid, jnp.int32(2**30)), axis=-1
+            ).astype(jnp.int32)[None]                          # [1, Bt]
+        outs.append(nxt.T)                                     # [Bt, 1]
+        cur = nxt
+    tok_ref[...] = jnp.concatenate(outs, axis=1)               # [Bt, U]
+
+
+def fused_multi_step(
+    cur: jnp.ndarray,          # [B] int32 — the window's first input token
+    k_cache: jnp.ndarray,      # [NL, L_pad, B, E]
+    v_cache: jnp.ndarray,
+    ck: jnp.ndarray,           # [NL, Tm_pad, B, E]
+    cv: jnp.ndarray,
+    mem_bias: jnp.ndarray,     # [B, Tm_pad] fp32
+    emb: jnp.ndarray,          # [V, E] or pre-grouped [V8/8, 8, E]
+    pe: jnp.ndarray,           # [L_pad, 1, E] (kernel layout)
+    weights: dict,             # stacked layers + norm_s/norm_b/wg/bg
+    w_idx: jnp.ndarray,        # scalar int32 window index (i0 = w*u)
+    *,
+    heads: int,
+    unroll: int = 4,
+    block_b: int = 32,
+    l_view: Optional[int] = None,
+    interpret: bool = False,
+    ablate: frozenset = frozenset(),
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``unroll`` greedy steps in one launch -> (tokens [B, unroll] raw
+    argmax chain, k_cache, v_cache with rows [w*u, w*u+u) written).
+
+    Designed latency lever: divides the per-token launch+glue overhead by
+    ``unroll``. bt <= 32 (the [E, V_pad] generator rides in VMEM like
+    fused_whole_step). ``ablate`` ({"dma","patch","gen"}) disables kernel
+    sections for toolchain bisects (the relay-side Mosaic rejects some
+    multi-step bodies — see greedy_generate_multi's STATUS note)."""
+    nl, l_pad, b, e = k_cache.shape
+    u = unroll
+    assert l_pad % u == 0 and u >= 1
+    stacked = weights["stacked"]
+    f = stacked["w1"].shape[-1]
+    v_pad = weights["wg"].shape[1]
+    tm = ck.shape[1]
+    bt = min(block_b, b)
+    assert b % bt == 0 and bt <= 32, (b, bt)
+    assert e % heads == 0
+    d = e // heads
+    l = l_pad if l_view is None else l_view
+    assert l % u == 0 and 0 < l <= l_pad
+
+    emb3 = emb if emb.ndim == 3 else group_embed_rows(emb)
+
+    lane = jnp.arange(e) // d
+    sel = (lane[:, None] == jnp.arange(heads)[None, :]).astype(jnp.float32)
+    selt = sel.T
+
+    def row_spec(cols):
+        return pl.BlockSpec((bt, cols), lambda i, _s: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def cache_spec(rows):
+        return pl.BlockSpec((nl, rows, bt, e), lambda i, _s: (0, 0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def cs(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, _s: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    # this window's u fresh rows leave through an aliased u-row block whose
+    # leading position is the scalar-prefetched WINDOW index (block units)
+    row_out_spec = pl.BlockSpec(
+        (nl, u, bt, e), lambda i, s: (0, s[0], i, 0), memory_space=pltpu.VMEM
+    )
+    w = stacked
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # emb stays in HBM
+            cs((l_pad, 1, e)),
+            pl.BlockSpec((1, bt), lambda i, _s: (0, i),
+                         memory_space=pltpu.VMEM),
+            cache_spec(l), cache_spec(l), cache_spec(tm), cache_spec(tm),
+            row_spec(tm),
+            cs((e, heads)), cs((heads, e)),
+            cs((nl, e, 3 * e)), cs((nl, 3 * e)),
+            cs((nl, e, e)), cs((nl, e)),
+            cs((nl, e, e)), cs((nl, e)),
+            cs((nl, e, e)), cs((nl, e)),
+            cs((nl, e)), cs((nl, e)), cs((nl, e)), cs((nl, e)),
+            cs((nl, e, f)), cs((nl, f)),
+            cs((nl, f, e)), cs((nl, e)),
+            cs((nl, e)), cs((nl, e)),
+            cs((e,)), cs((e,)), cs((e, v_pad)), cs((v_pad,)),
+        ],
+        out_specs=(
+            pl.BlockSpec((bt, u), lambda i, _s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            row_out_spec, row_out_spec,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bt, 8, e), k_cache.dtype),
+            pltpu.SemaphoreType.DMA((bt,)),
+        ],
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, u), jnp.int32),
+        jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+        jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+    )
+    kernel = functools.partial(_multi_step_kernel, heads=heads, nl=nl, u=u,
+                               ablate=frozenset(ablate))
+    toks, ks, vs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        # inputs (incl. scalar 0): [4]=k_cache, [5]=v_cache -> outputs 1/2
+        input_output_aliases={4: 1, 5: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(w_idx, jnp.int32).reshape(1),
+        emb3.astype(k_cache.dtype), pe, cur.reshape(1, b).astype(jnp.int32),
+        k_cache, v_cache, ck, cv, mem_bias, sel, selt,
+        w["wqkv"], w["bqkv"], w["wo"], w["bo"],
+        w["wcq"], w["bcq"], w["wco"], w["bco"],
+        w["n1s"], w["n1b"], w["n2s"], w["n2b"],
+        w["w1"], w["b1"], w["w2"], w["b2"], w["n3s"], w["n3b"],
+        weights["norm_s"], weights["norm_b"], weights["wg"], weights["bg"],
+    )
+    return toks, ks, vs
