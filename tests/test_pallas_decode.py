@@ -431,6 +431,24 @@ def test_multi_step_quirk_unroll2(rng):
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
 
 
+def test_multi_step_wide_batch(rng):
+    """b > block_b runs the multi-step kernel on a >1-program grid and stays
+    token-exact (the steady-state throughput configuration)."""
+    from vct_tpu.decode_fast import greedy_generate_multi
+
+    model = _model()
+    b = 8
+    feats, masks, variables = _init_wide(model, rng, b)
+    ref, _ = greedy_generate(
+        model, variables, feats, masks, max_len=MAX_LEN, start_id=2, end_id=7,
+    )
+    toks, _ = greedy_generate_multi(
+        model, variables, feats, masks, max_len=MAX_LEN, start_id=2, end_id=7,
+        unroll=4, block_b=2, block_v=256, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
+
+
 def test_multi_step_dispatch(rng):
     """greedy_generate_fused(multi_step=u) routes through the multi-token
     kernel and stays token-exact (jit boundary included)."""

@@ -795,23 +795,33 @@ def greedy_generate_multi(
     ablate: frozenset = frozenset(),
 ):
     """-> (tokens [B, max_len], None): greedy decode at ``unroll`` tokens per
-    kernel launch (``ops.pallas_decode.fused_multi_step``) for the B <= 32
-    regime. The kernel emits raw argmax chains; the
-    all-rows-finished -> PAD quirk (reference ``MMT4Caption.py:163-172``) is
-    applied here between windows, so the result is token-exact with
-    ``decode.greedy_generate`` (verified on real v5e, not just interpret).
+    kernel launch (``ops.pallas_decode.fused_multi_step``), any batch that
+    tiles by block_b <= 32 (the generator rides whole in VMEM). The kernel
+    emits raw argmax chains; the all-rows-finished -> PAD quirk (reference
+    ``MMT4Caption.py:163-172``) is applied here between windows, so the
+    result is token-exact with ``decode.greedy_generate`` (verified on real
+    v5e at B=1 and B=2048, not just interpret).
 
     Measured at B=1 (v5e, 30 tokens): p50 34.7 ms (whole-step baseline) ->
     33.0 ms (u=2) / 32.9 ms (u=4). Cutting launches 29 -> 8 moved p50 only
     ~5%, which pins the B=1 floor on the kernel BODY — every token streams
     all ~87 MB of decoder+generator weights through row-padded MXU tiles —
-    not on launch overhead; docs/PERF.md has the roofline."""
+    not on launch overhead; docs/PERF.md has the roofline.
+
+    Measured at B=2048 (v5e, steady state): 19.1k cps (u=2) / 20.1k cps
+    (u=4) vs 28.6k for the default two-kernel path — each 32-row tile runs
+    its ``u`` tokens serially against the whole [768, 30522] generator, so
+    the MXU sees thin row blocks where the vocab-tiled argmax kernel sees
+    wide ones, and that costs more than the launch amortization saves.
+    u=8 overflows the relay-side compiler. Stays opt-in (``multi_step=``);
+    the auto dispatch never picks it for wide batches."""
     from vct_tpu.ops.pallas_decode import fused_multi_step, group_embed_rows
 
     b = video_feats[0].shape[0]
     u = unroll
-    if b > 32:
-        raise ValueError(f"multi-step decode serves B <= 32, got {b}")
+    if b % min(block_b, b) or min(block_b, b) > 32:
+        raise ValueError(
+            f"multi-step decode tiles b={b} by block_b<=32, got {block_b}")
     fw, cks, cvs, mem_bias = _prep_decode(
         model, variables, video_feats, video_masks,
         max_len=max_len, block_v=block_v,

@@ -1133,7 +1133,10 @@ def _multi_step_kernel(
                       # Mosaic's "slice must be aligned to tiling (8)"; the
                       # leading group axis is untiled, so slicing it is free)
     pe_ref,           # [L_pad, 1, E] VMEM
-    cur_ref,          # [1, Bt] int32 — the window's first input token
+    cur_ref,          # [Bt, 1] int32 — the window's first input token
+                      # (column layout: the lane dim is 1 == the full array
+                      # dim, so the (bt, 1) block stays Mosaic-legal when
+                      # the batch grid has more than one program)
     k_ref, v_ref,     # [NL, l_view, Bt, E] VMEM (rows >= i0 are zeros)
     ck_ref, cv_ref,   # [NL, Tm_pad, Bt, E]
     membias_ref, sel_ref, selt_ref,
@@ -1166,18 +1169,18 @@ def _multi_step_kernel(
     mbias = membias_ref[...].astype(jnp.float32).T
     l = k_ref.shape[1]
     pos_l = jax.lax.broadcasted_iota(jnp.int32, (l, 1), 0)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, bt), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0)
 
-    cur = cur_ref[...]
+    cur = cur_ref[...]                                         # [Bt, 1]
     fresh = [[] for _ in range(nl)]  # per layer: [(pos, k1, v1), ...]
     outs = []
     for j in range(u):
         if "dma" in ablate:  # toolchain bisect: skip the embedding gather
-            x = cur.T.astype(jnp.float32) * jnp.float32(1e-4)
+            x = cur.astype(jnp.float32) * jnp.float32(1e-4)
         else:
             dmas = []
             for r in range(bt):
-                tok_r = jnp.sum(jnp.where(col_iota == r, cur, 0))
+                tok_r = jnp.sum(jnp.where(row_iota == r, cur, 0))
                 dma = pltpu.make_async_copy(
                     emb_ref.at[pl.ds(tok_r // 8, 1)],
                     g_ref.at[pl.ds(r, 1)],
@@ -1187,16 +1190,13 @@ def _multi_step_kernel(
                 dmas.append(dma)
             for dma in dmas:
                 dma.wait()
-            # each row's group holds its token at position cur % 8.
-            # transpose the int32 BEFORE comparing: tpu.transpose on an i1
-            # vector fails Mosaic legalization
-            cur_t = cur.T                                       # [Bt, 1] i32
+            # each row's group holds its token at position cur % 8
             pick = (jax.lax.broadcasted_iota(jnp.int32, (bt, 8, 1), 1)
-                    == (cur_t % 8)[:, :, None])
+                    == (cur % 8)[:, :, None])
             x = jnp.sum(
                 jnp.where(pick, g_ref[...].astype(jnp.float32), 0.0), axis=1
             )
-            x = jnp.where(cur_t == 0, 0.0, x)
+            x = jnp.where(cur == 0, 0.0, x)
         x = (x + pe_ref[i0 + j].astype(jnp.float32)).astype(dt)
 
         cbias = jnp.where(pos_l <= i0 + j, 0.0, NEG_INF).astype(jnp.float32)
@@ -1232,7 +1232,7 @@ def _multi_step_kernel(
 
         yn = _layernorm(x, ns_ref[...], nb_ref[...])
         if "gen" in ablate:  # toolchain bisect: no generator/argmax
-            nxt = jnp.sum(yn, axis=-1).astype(jnp.int32).reshape(1, bt) % 97
+            nxt = jnp.sum(yn, axis=-1).astype(jnp.int32).reshape(bt, 1) % 97
         else:
             logits = jax.lax.dot_general(
                 yn.astype(jnp.float32), wg_ref[...], (((1,), (0,)), ((), ())),
@@ -1242,8 +1242,8 @@ def _multi_step_kernel(
             vid = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
             nxt = jnp.min(
                 jnp.where(logits == mx, vid, jnp.int32(2**30)), axis=-1
-            ).astype(jnp.int32)[None]                          # [1, Bt]
-        outs.append(nxt.T)                                     # [Bt, 1]
+            ).astype(jnp.int32)[:, None]                       # [Bt, 1]
+        outs.append(nxt)                                       # [Bt, 1]
         cur = nxt
     tok_ref[...] = jnp.concatenate(outs, axis=1)               # [Bt, U]
 
@@ -1272,9 +1272,11 @@ def fused_multi_step(
 
     Designed latency lever: divides the per-token launch+glue overhead by
     ``unroll``. bt <= 32 (the [E, V_pad] generator rides in VMEM like
-    fused_whole_step). ``ablate`` ({"dma","patch","gen"}) disables kernel
-    sections for toolchain bisects (the relay-side Mosaic rejects some
-    multi-step bodies — see greedy_generate_multi's STATUS note)."""
+    fused_whole_step); b > bt tiles the batch over the grid (the ``cur``
+    token column is [B, 1] so its block stays Mosaic-legal on multi-program
+    grids). ``ablate`` ({"dma","patch","gen"}) disables kernel sections for
+    toolchain bisects. unroll=8 overflows the relay-side compiler; measured
+    win/loss numbers live in greedy_generate_multi's docstring."""
     nl, l_pad, b, e = k_cache.shape
     u = unroll
     assert l_pad % u == 0 and u >= 1
@@ -1320,7 +1322,7 @@ def fused_multi_step(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # emb stays in HBM
             cs((l_pad, 1, e)),
-            pl.BlockSpec((1, bt), lambda i, _s: (0, i),
+            pl.BlockSpec((bt, 1), lambda i, _s: (i, 0),
                          memory_space=pltpu.VMEM),
             cache_spec(l), cache_spec(l), cache_spec(tm), cache_spec(tm),
             row_spec(tm),
@@ -1364,7 +1366,7 @@ def fused_multi_step(
         interpret=interpret,
     )(
         jnp.asarray(w_idx, jnp.int32).reshape(1),
-        emb3.astype(k_cache.dtype), pe, cur.reshape(1, b).astype(jnp.int32),
+        emb3.astype(k_cache.dtype), pe, cur.reshape(b, 1).astype(jnp.int32),
         k_cache, v_cache, ck, cv, mem_bias, sel, selt,
         w["wqkv"], w["bqkv"], w["wo"], w["bo"],
         w["wcq"], w["bcq"], w["wco"], w["bco"],
