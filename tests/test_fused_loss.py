@@ -87,6 +87,33 @@ class TestGradients:
             scale = max(np.abs(u).max(), 1e-8)
             assert np.abs(u - f).max() / scale < 1e-5
 
+    def test_stash_matches_recompute_bf16(self):
+        # stash=True replaces the backward's logit recompute with the stored
+        # bf16 chunk logits — the same VALUES the recompute rounds to. The
+        # two compiled programs may still reassociate the downstream
+        # reductions differently, so the guarantee is float-summation order
+        # (the same caveat as fused-vs-unfused), not bitwise equality.
+        x, wg, bg, labels, rect, valid = _data(seed=7)
+        keep = (labels != 0).astype(jnp.float32) * valid.astype(jnp.float32)
+        m = rect.astype(jnp.float32) * valid.astype(jnp.float32)
+
+        def loss(stash):
+            def f(x, wg, bg):
+                c, cn, r, rn = linear_sce_parts(
+                    x, wg, bg, labels, keep, m, jnp.bfloat16, 256, True, stash)
+                return 0.5 * c / jnp.maximum(cn, 1.0) + 0.5 * r / jnp.maximum(rn, 1.0)
+            return f
+
+        vs, gs = jax.value_and_grad(loss(True), argnums=(0, 1, 2))(x, wg, bg)
+        vr, gr = jax.value_and_grad(loss(False), argnums=(0, 1, 2))(x, wg, bg)
+        np.testing.assert_allclose(float(vs), float(vr), rtol=1e-5)
+        for a, b in zip(gs, gr):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(b).max(), 1e-8)
+            # bf16 grads are ~1e-3 here and the absolute reassociation noise
+            # is ~1e-7; 2e-4 bounds the observed 6.5e-5 with headroom
+            assert np.abs(a - b).max() / scale < 2e-4
+
     def test_grads_match_jit(self):
         x, wg, bg, labels, rect, valid = _data(seed=3)
 

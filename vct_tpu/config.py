@@ -328,6 +328,15 @@ class TPUConfig:
     # exist in HBM on loss-only forwards (train/val steps). Values/gradients
     # match the materialized path to float summation order.
     use_fused_loss: bool = True
+    # Fused-loss backward residual: stash each vocab chunk's half-precision
+    # logits in the vjp forward instead of recomputing them in pass 2 and
+    # the backward (same values to summation order; ~[B*S, vocab] 16-bit HBM
+    # for 2 fewer generator GEMMs). Measured NEUTRAL on v5e at B=256
+    # (35.9 vs 36.1 ms/step: the loss scans are VPU-bound on exp/compare,
+    # not GEMM-bound), so it defaults off to keep the memory; flip it on
+    # for chips where the generator GEMM is the binding resource. Ignored
+    # for fp32 compute dtypes and on loss-only (validation) forwards.
+    fused_loss_stash: bool = False
     # Replicate reference quirks bit-for-bit (see SURVEY.md Appendix A and
     # models/ docstrings) instead of the corrected semantics.
     quirk_unmasked_aggregation: bool = False

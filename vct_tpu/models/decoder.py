@@ -88,6 +88,11 @@ class CapDecoder(nn.Module):
     # summation order (tests/test_fused_loss.py).
     use_fused_loss: bool = True
     fused_loss_block_v: int = 2048
+    # Keep each chunk's dtype logits as a residual for the loss backward
+    # (same values to summation order, ~[B*S, vocab] 16-bit HBM for 2 fewer
+    # GEMMs per train step; no effect on loss-only forwards / fp32 dtypes).
+    # Default off: measured neutral on v5e — see TPUConfig.fused_loss_stash.
+    fused_loss_stash: bool = False
 
     def setup(self):
         self.decoder = TransformerDecoder(
@@ -197,6 +202,7 @@ class CapDecoder(nn.Module):
                 self.dtype,
                 self.fused_loss_block_v,
                 self.sce_loss_alpha != 1.0,
+                self.fused_loss_stash,
             )
         else:
             logits = self.generator(outs)

@@ -109,6 +109,7 @@ class MMT4Caption(nn.Module):
             use_pallas=self.tpu.use_pallas_attention,
             partition_kernels=self.tpu.pallas_partition_kernels,
             use_fused_loss=self.tpu.use_fused_loss,
+            fused_loss_stash=self.tpu.fused_loss_stash,
             name="cap_decoder",
         )
         if cfg.matching is not None:

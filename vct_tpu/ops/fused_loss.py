@@ -19,6 +19,19 @@ backward pass — extra MXU work (the generator GEMM runs 3x forward+backward
 instead of 1x+2x) traded for never touching HBM with anything wider than
 ``block_v``.
 
+``stash=True`` (default; only honored under differentiation and for 16-bit
+compute dtypes) replaces two of those recompute GEMMs with one [N, V]
+half-precision round trip: the vjp forward's pass 1 also emits each chunk's
+``dtype`` logits (the exact values the recompute would produce — chunk
+logits are rounded to ``dtype`` before the loss math either way), and
+pass 2 plus the backward read them back instead of re-running the
+generator GEMM. XLA may still reassociate the downstream reductions
+between the two program shapes, so stash on/off agree to float-summation
+order — the same tolerance as fused-vs-unfused. At B=256/S=31 the stash is
+469 MB of bf16 (~1.2 ms of HBM traffic) replacing ~5 ms of MXU time. The
+primal-only call (validation loss) never stashes — the stash lives in the
+``custom_vjp`` forward rule, which only runs when gradients are requested.
+
 Numerics: each chunk's logits are computed exactly like ``nn.Dense(dtype)``
 (fp32-accumulated matmul rounded to ``dtype``, bias added in ``dtype``) and
 the softmax statistics use the standard online rescaling — values match
@@ -44,17 +57,23 @@ _EPS = 1e-7  # softmax clip floor (reference loss.py:83 clamps the one-hot;
 # the floor is active)
 
 
-def _chunk_logits(x, wg, bg, start, block_v, dtype):
-    """One vocab chunk's logits, bit-matching nn.Dense(dtype=dtype):
-    fp32-accumulated GEMM rounded to ``dtype``, bias added in ``dtype``,
-    result widened to fp32 for the loss math. -> [N, block_v] fp32."""
+def _chunk_logits_dt(x, wg, bg, start, block_v, dtype):
+    """One vocab chunk's logits in ``dtype``, bit-matching nn.Dense(dtype):
+    fp32-accumulated GEMM rounded to ``dtype``, bias added in ``dtype``.
+    -> [N, block_v] dtype (widen to fp32 at the use site; the rounding to
+    ``dtype`` here is what makes stashing this tensor lossless)."""
     w = jax.lax.dynamic_slice_in_dim(wg, start, block_v, axis=1)
     b = jax.lax.dynamic_slice_in_dim(bg, start, block_v, axis=0)
     z32 = jax.lax.dot_general(
         x.astype(dtype), w.astype(dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    return (z32.astype(dtype) + b.astype(dtype)).astype(jnp.float32)
+    return z32.astype(dtype) + b.astype(dtype)
+
+
+def _chunk_logits(x, wg, bg, start, block_v, dtype):
+    """-> [N, block_v] fp32 (see _chunk_logits_dt)."""
+    return _chunk_logits_dt(x, wg, bg, start, block_v, dtype).astype(jnp.float32)
 
 
 def _pad_vocab(wg, bg, block_v):
@@ -68,7 +87,7 @@ def _pad_vocab(wg, bg, block_v):
     return wg, bg, v_pad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def linear_sce_parts(
     x: jnp.ndarray,        # [N, E] decoder outputs (generator input)
     wg: jnp.ndarray,       # [E, V] generator kernel (fp32 param)
@@ -79,16 +98,27 @@ def linear_sce_parts(
     dtype=jnp.float32,     # the Dense compute dtype (model dtype)
     block_v: int = 2048,
     with_rce: bool = True,
+    stash: bool = True,    # keep the dtype logits for pass 2 + backward
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (ce_sum, ce_n, rce_sum, rce_n), identical in meaning to
     ``losses.sce_loss_parts(generator(x), labels, ...)`` with
     ``keep_ce = (labels != pad) * valid`` and ``m_rce = rect_mask * valid``.
-    When ``with_rce=False`` the rce parts are zeros (CE-only, alpha == 1)."""
-    out, _ = _fwd(x, wg, bg, labels, keep_ce, m_rce, dtype, block_v, with_rce)
+    When ``with_rce=False`` the rce parts are zeros (CE-only, alpha == 1).
+    ``stash`` trades a [N, V] dtype-width residual for two generator GEMMs
+    (same values to float-summation order); it only takes effect under
+    differentiation and for 16-bit dtypes — the primal call always
+    recomputes."""
+    out, _ = _fwd_impl(x, wg, bg, labels, keep_ce, m_rce, dtype, block_v,
+                       with_rce, stash=False)
     return out
 
 
-def _fwd(x, wg, bg, labels, keep_ce, m_rce, dtype, block_v, with_rce):
+def _stash_on(dtype, stash: bool) -> bool:
+    return bool(stash) and jnp.dtype(dtype).itemsize <= 2
+
+
+def _fwd_impl(x, wg, bg, labels, keep_ce, m_rce, dtype, block_v, with_rce,
+              stash):
     n = x.shape[0]
     v = wg.shape[1]
     wgp, bgp, v_pad = _pad_vocab(wg, bg, block_v)
@@ -98,7 +128,8 @@ def _fwd(x, wg, bg, labels, keep_ce, m_rce, dtype, block_v, with_rce):
     def pass1(carry, ci):
         m, s, zt = carry
         start = ci * block_v
-        z = _chunk_logits(x, wgp, bgp, start, block_v, dtype)
+        z16 = _chunk_logits_dt(x, wgp, bgp, start, block_v, dtype)
+        z = z16.astype(jnp.float32)
         cmax = jnp.max(z, axis=-1)
         m_new = jnp.maximum(m, cmax)
         s = s * jnp.exp(m - m_new) + jnp.sum(jnp.exp(z - m_new[:, None]), axis=-1)
@@ -108,12 +139,12 @@ def _fwd(x, wg, bg, labels, keep_ce, m_rce, dtype, block_v, with_rce):
             z, jnp.clip(loc, 0, block_v - 1)[:, None], axis=-1
         )[:, 0]
         zt = jnp.where(in_chunk, z_at, zt)
-        return (m_new, s, zt), None
+        return (m_new, s, zt), (z16 if stash else None)
 
     init = (jnp.full((n,), -jnp.inf, jnp.float32),
             jnp.zeros((n,), jnp.float32),
             jnp.zeros((n,), jnp.float32))
-    (m, s, zt), _ = jax.lax.scan(pass1, init, jnp.arange(n_chunks))
+    (m, s, zt), z_stack = jax.lax.scan(pass1, init, jnp.arange(n_chunks))
     lse = m + jnp.log(s)
 
     ce = lse - zt
@@ -123,9 +154,12 @@ def _fwd(x, wg, bg, labels, keep_ce, m_rce, dtype, block_v, with_rce):
     if with_rce:
         # pass 2: SA = sum of unclipped probs, cnt = #clipped (p <= eps);
         # S = SA + eps * cnt, minus the v_pad - v all-zero pad columns
-        def pass2(carry, ci):
+        def pass2(carry, xs):
             sa, cnt = carry
-            z = _chunk_logits(x, wgp, bgp, ci * block_v, block_v, dtype)
+            if stash:
+                z = xs.astype(jnp.float32)
+            else:
+                z = _chunk_logits(x, wgp, bgp, xs * block_v, block_v, dtype)
             p = jnp.exp(z - lse[:, None])
             above = p > _EPS
             sa = sa + jnp.sum(jnp.where(above, p, 0.0), axis=-1)
@@ -135,7 +169,7 @@ def _fwd(x, wg, bg, labels, keep_ce, m_rce, dtype, block_v, with_rce):
         (sa, cnt), _ = jax.lax.scan(
             pass2,
             (jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32)),
-            jnp.arange(n_chunks),
+            z_stack if stash else jnp.arange(n_chunks),
         )
         s_clip = sa + _EPS * (jnp.float32(v) - cnt)  # pad columns excluded
         pt = jnp.exp(zt - lse)
@@ -149,12 +183,18 @@ def _fwd(x, wg, bg, labels, keep_ce, m_rce, dtype, block_v, with_rce):
         rce_n = jnp.zeros(())
 
     out = (ce_sum, ce_n, rce_sum, rce_n)
-    res = (x, wg, bg, labels, keep_ce, m_rce, lse, zt, sa)
+    res = (x, wg, bg, labels, keep_ce, m_rce, lse, zt, sa, z_stack)
     return out, res
 
 
-def _bwd(dtype, block_v, with_rce, res, cts):
-    x, wg, bg, labels, keep_ce, m_rce, lse, zt, sa = res
+def _fwd(x, wg, bg, labels, keep_ce, m_rce, dtype, block_v, with_rce, stash):
+    return _fwd_impl(x, wg, bg, labels, keep_ce, m_rce, dtype, block_v,
+                     with_rce, _stash_on(dtype, stash))
+
+
+def _bwd(dtype, block_v, with_rce, stash, res, cts):
+    x, wg, bg, labels, keep_ce, m_rce, lse, zt, sa, z_stack = res
+    stash = _stash_on(dtype, stash)
     g_ce, _, g_rce, _ = cts  # counts don't depend on differentiable inputs
     n, e = x.shape
     v = wg.shape[1]
@@ -171,10 +211,15 @@ def _bwd(dtype, block_v, with_rce, res, cts):
     base = c * (at * pt - sa)                                    # [N]
     lab_term = w_ce + c * at * pt                                # coeff of -1[k=t]
 
-    def bwd_chunk(carry, ci):
+    def bwd_chunk(carry, xs):
         dx, dwg, dbg = carry
+        if stash:
+            ci, z16 = xs
+            z = z16.astype(jnp.float32)
+        else:
+            ci = xs
+            z = _chunk_logits(x, wgp, bgp, ci * block_v, block_v, dtype)
         start = ci * block_v
-        z = _chunk_logits(x, wgp, bgp, start, block_v, dtype)
         p = jnp.exp(z - lse[:, None])
         a = (p > _EPS).astype(jnp.float32)
         dz = p * (w_ce[:, None] + c[:, None] * a + base[:, None])
@@ -204,7 +249,7 @@ def _bwd(dtype, block_v, with_rce, res, cts):
         (jnp.zeros((n, e), jnp.float32),
          jnp.zeros((e, v_pad), jnp.float32),
          jnp.zeros((v_pad,), jnp.float32)),
-        jnp.arange(n_chunks),
+        (jnp.arange(n_chunks), z_stack) if stash else jnp.arange(n_chunks),
     )
     dwg = dwg[:, :v]
     dbg = dbg[:v]
