@@ -45,11 +45,11 @@ from __graft_entry__ import _batch, _flagship
 from vct_tpu.decode import make_greedy_fn
 from vct_tpu.models.mmt4caption import MMT4Caption
 
-# B=2048 is the steady-state sweet spot (double-buffered sweep on v5e:
-# 1024->23.0k, 2048->24.5k, 4096->25.5k, 8192->25.9k captions/s —
-# tools/profile_decode12): near the ~26k asymptote while keeping batch
-# latency under 100 ms and the KV rectangles small.
-B = 2048
+# B=4096 is the steady-state sweet spot (double-buffered sweep on v5e,
+# round 3: 1024->22.1k, 2048->29.2k, 4096->30.4k, 8192->30.4k captions/s —
+# tools/profile.py decode-sweep): the asymptote; 8192 only doubles batch
+# latency and the KV rectangles for nothing.
+B = 4096
 T = 12
 MAX_LEN = 30
 VOCAB = 30522
@@ -124,7 +124,11 @@ def train_flops_per_batch(b: int, s: int = TRAIN_S) -> float:
     return 3.0 * b * fwd
 
 
-N_EVAL = 20480  # e2e eval split size (10 batches of B)
+N_EVAL = 20480  # e2e eval split size
+# e2e keeps its own batch size: 10 smaller batches overlap transfer with
+# device compute better than 5 big ones on this ~25 MB/s relay link
+# (measured: E2E_B=2048 -> 2.5k captions/s, 4096 -> 1.8k)
+E2E_B = 2048
 
 
 def _ensure_synth_split(root, n: int, t: int, d: int, vocab: int) -> None:
@@ -185,7 +189,7 @@ def e2e_eval_bench(variables, greedy) -> dict:
     split = SplitConfig.from_dict({
         "feat_dir": [f"{root}/feat"], "annotation_path": f"{root}/ann.txt",
         "dataset": "msvd", "mode": "by_video", "split_mode": "validate",
-        "batch_size": B,
+        "batch_size": E2E_B,
     })
     # float16 feature batches: the e2e number is host->device-transfer-bound
     # on this relay-attached chip (~25 MB/s measured; a [2048, 12, 512] fp32
@@ -202,7 +206,7 @@ def e2e_eval_bench(variables, greedy) -> dict:
 
     # compile the fp16-input program before the timed loop (the resident
     # bench warmed the fp32 signature)
-    np.asarray(greedy(variables, [jnp.zeros((B, T, DFEAT), jnp.float16)],
+    np.asarray(greedy(variables, [jnp.zeros((E2E_B, T, DFEAT), jnp.float16)],
                       [jnp.zeros((B, T), bool)])[0])
 
     vid2result = {}
@@ -388,7 +392,7 @@ def main() -> None:
     # steady-state throughput: double-buffered split decode — the exact
     # production loop (Trainer.decode_split / cli.eval use pipelined_map) —
     # overlaps batch i's fetch with batch i+1's device compute. Measured
-    # 13.9k sequential -> ~23k captions/s at B=1024 (tools/profile_decode9/10:
+    # 13.9k sequential -> ~23k captions/s at B=1024 (tools/profile.py latency:
     # every synchronous fetch on this relay costs a ~35 ms round trip that
     # enqueue-only dispatch does not).
     iters = 12

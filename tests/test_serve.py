@@ -289,6 +289,19 @@ def test_oversized_body_413(server):
     assert status == 200
 
 
+def test_negative_content_length_400(server):
+    """A negative Content-Length must be rejected up front: passing it to
+    rfile.read() would slurp the socket until EOF — unbounded RAM despite
+    the body cap."""
+    conn = HTTPConnection("127.0.0.1", server.server_address[1], timeout=30)
+    conn.putrequest("POST", "/v1/caption", skip_accept_encoding=True)
+    conn.putheader("Content-Length", "-1")
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 400
+    assert "Content-Length" in json.loads(resp.read())["error"]
+
+
 def test_queue_full_503_unit():
     """A full request queue raises ServerOverloadedError immediately (503)
     instead of buffering the features — backpressure, not unbounded RAM."""

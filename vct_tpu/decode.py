@@ -396,7 +396,7 @@ def pipelined_map(launch, batches, *, depth: int = 2):
     a full round trip (~35 ms measured) that enqueue-only dispatch does not.
     Keeping the next batch in flight while the previous one is fetched and
     detokenized raised measured decode throughput from 13.9k to ~23k
-    captions/s/chip at B=1024 (tools/profile_decode9/10); on a direct-attached
+    captions/s/chip at B=1024 (tools/profile.py latency, round-2 history); on a direct-attached
     TPU it still overlaps host detokenization with device compute. ``depth=2``
     (double buffering) captures nearly all of the win — deeper windows only
     add memory.

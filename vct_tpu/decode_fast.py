@@ -325,10 +325,11 @@ def greedy_generate_fused(
     if multi_step:
         if sequence_kernel:
             raise ValueError("multi_step and sequence_kernel are exclusive")
+        kw = {} if block_b is None else {"block_b": block_b}
         return greedy_generate_multi(
             model, variables, video_feats, video_masks, max_len=max_len,
             start_id=start_id, end_id=end_id, pad_id=pad_id,
-            unroll=multi_step, block_v=block_v, interpret=interpret,
+            unroll=multi_step, block_v=block_v, interpret=interpret, **kw,
         )
     if sequence_kernel is None:
         # opt-in only: token-exact in interpret mode; the two Mosaic
@@ -852,7 +853,7 @@ def greedy_generate_multi(
             w, tokens, cur, done, ks, vs = state
             toks_u, ks, vs = fused_multi_step(
                 cur, ks, vs, cks, cvs, mem_bias, emb3, pe3, fw, w,
-                heads=fw["heads"], unroll=u, block_b=block_b,
+                heads=fw["heads"], unroll=u, block_b=block_b, pad_id=pad_id,
                 l_view=l_view, interpret=interpret, ablate=ablate,
             )
             # all-finished -> PAD semantics, step by step (static unroll)

@@ -19,8 +19,9 @@ backward pass — extra MXU work (the generator GEMM runs 3x forward+backward
 instead of 1x+2x) traded for never touching HBM with anything wider than
 ``block_v``.
 
-``stash=True`` (default; only honored under differentiation and for 16-bit
-compute dtypes) replaces two of those recompute GEMMs with one [N, V]
+``stash=True`` (opt-in, mirroring ``TPUConfig.fused_loss_stash``; only
+honored under differentiation and for 16-bit compute dtypes) replaces two
+of those recompute GEMMs with one [N, V]
 half-precision round trip: the vjp forward's pass 1 also emits each chunk's
 ``dtype`` logits (the exact values the recompute would produce — chunk
 logits are rounded to ``dtype`` before the loss math either way), and
@@ -98,7 +99,7 @@ def linear_sce_parts(
     dtype=jnp.float32,     # the Dense compute dtype (model dtype)
     block_v: int = 2048,
     with_rce: bool = True,
-    stash: bool = True,    # keep the dtype logits for pass 2 + backward
+    stash: bool = False,   # keep the dtype logits for pass 2 + backward
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (ce_sum, ce_n, rce_sum, rce_n), identical in meaning to
     ``losses.sce_loss_parts(generator(x), labels, ...)`` with

@@ -1151,7 +1151,8 @@ def _multi_step_kernel(
     # scratch
     g_ref,            # [Bt, 8, E] — the gathered embedding row groups
     sem,              # DMA semaphores (Bt,)
-    *, heads: int, nl: int, u: int, ablate: frozenset = frozenset(),
+    *, heads: int, nl: int, u: int, pad_id: int = 0,
+    ablate: frozenset = frozenset(),
 ):
     """``u`` consecutive greedy steps in ONE launch, statically unrolled
     (no in-kernel scf.for — see fused_sequence_decode's STATUS note). The
@@ -1196,7 +1197,7 @@ def _multi_step_kernel(
             x = jnp.sum(
                 jnp.where(pick, g_ref[...].astype(jnp.float32), 0.0), axis=1
             )
-            x = jnp.where(cur == 0, 0.0, x)
+            x = jnp.where(cur == pad_id, 0.0, x)
         x = (x + pe_ref[i0 + j].astype(jnp.float32)).astype(dt)
 
         cbias = jnp.where(pos_l <= i0 + j, 0.0, NEG_INF).astype(jnp.float32)
@@ -1263,12 +1264,15 @@ def fused_multi_step(
     heads: int,
     unroll: int = 4,
     block_b: int = 32,
+    pad_id: int = 0,
     l_view: Optional[int] = None,
     interpret: bool = False,
     ablate: frozenset = frozenset(),
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """``unroll`` greedy steps in one launch -> (tokens [B, unroll] raw
     argmax chain, k_cache, v_cache with rows [w*u, w*u+u) written).
+    ``pad_id`` is the embedding row forced to zero (torch padding_idx
+    semantics — must match the caller's pad token, not assume 0).
 
     Designed latency lever: divides the per-token launch+glue overhead by
     ``unroll``. bt <= 32 (the [E, V_pad] generator rides in VMEM like
@@ -1353,7 +1357,7 @@ def fused_multi_step(
         jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
     )
     kernel = functools.partial(_multi_step_kernel, heads=heads, nl=nl, u=u,
-                               ablate=frozenset(ablate))
+                               pad_id=pad_id, ablate=frozenset(ablate))
     toks, ks, vs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

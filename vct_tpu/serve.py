@@ -306,6 +306,12 @@ def make_handler(service: CaptionService):
                 self._reply(400, {"error": "bad Content-Length"})
                 self.close_connection = True
                 return
+            if length < 0:
+                # a negative length would make rfile.read() slurp the socket
+                # until EOF — unbounded RAM despite the cap below
+                self._reply(400, {"error": "bad Content-Length"})
+                self.close_connection = True
+                return
             if length > service.max_body_bytes:
                 # reject BEFORE reading: the body never enters RAM. The
                 # connection must drop (unread bytes are still inbound).

@@ -55,7 +55,7 @@ def make_train_step(
     # On TPU, draw dropout masks with the hardware RNG ('rbg' keys: XLA
     # RngBitGenerator for the bits, threefry for split/fold_in). Threefry mask
     # generation costs ~3 ms/step at B=64 and ~29 ms at B=256 on v5e — 16-35%
-    # of the whole train step (measured, tools/profile_train2.py). The swap
+    # of the whole train step (measured; now tools/profile.py train). The swap
     # changes which bernoulli stream dropout sees (any stream is equally
     # valid) but keeps param-init and data-order reproducibility (state.rng
     # stays threefry). Off-TPU keeps threefry so the CPU-mesh DDP-equivalence
