@@ -207,7 +207,7 @@ def e2e_eval_bench(variables, greedy) -> dict:
     # compile the fp16-input program before the timed loop (the resident
     # bench warmed the fp32 signature)
     np.asarray(greedy(variables, [jnp.zeros((E2E_B, T, DFEAT), jnp.float16)],
-                      [jnp.zeros((B, T), bool)])[0])
+                      [jnp.zeros((E2E_B, T), bool)])[0])
 
     vid2result = {}
     t0 = time.perf_counter()
@@ -233,6 +233,71 @@ def e2e_eval_bench(variables, greedy) -> dict:
         "e2e_split_gen_secs": round(gen_secs, 2),
         "e2e_transfer_dtype": "float16",
     }
+
+
+def e2e_train_bench(model) -> dict:
+    """End-to-end train throughput: native loader + WordPiece tokenization +
+    collate on a background prefetch thread -> jitted train step (the path
+    ``Trainer.train_epoch`` runs; reference ``train.py:113-148``). The
+    resident-batch train numbers never cross the input pipeline — this one
+    does. Guarded: a failure reports an ``e2e_train_error`` field instead of
+    killing the headline line."""
+    import tempfile
+
+    from vct_tpu.config import SplitConfig, TPUConfig, TrainConfig
+    from vct_tpu.data.loader import build_dataloader
+    from vct_tpu.text.tokenizer import CaptionPreprocessor, make_tokenizer
+    from vct_tpu.train.optimizers import build_optimizer
+    from vct_tpu.train.state import make_train_state
+    from vct_tpu.train.step import make_train_step
+
+    try:
+        root = f"{tempfile.gettempdir()}/vct_e2e_split_v1"
+        _ensure_synth_split(root, N_EVAL, T, DFEAT, VOCAB)
+        bsz = 4 * TRAIN_B  # 256, the saturating train batch
+        split = SplitConfig.from_dict({
+            "feat_dir": [f"{root}/feat"], "annotation_path": f"{root}/ann.txt",
+            "dataset": "msvd", "mode": "by_caption", "split_mode": "train",
+            "batch_size": bsz,
+        })
+        prep = CaptionPreprocessor(make_tokenizer(f"{root}/vocab.txt"),
+                                   TRAIN_S)
+        _, loader = build_dataloader(
+            split, TPUConfig(max_frames=T, feat_transfer_dtype="float16"),
+            preprocessor=prep)
+
+        def dev_batch(b):
+            return {"feats": [jnp.asarray(f) for f in b.feats],
+                    "masks": [jnp.asarray(m) for m in b.masks],
+                    "token_ids": jnp.asarray(b.token_ids),
+                    "token_mask": jnp.asarray(b.token_mask)}
+
+        it = iter(loader)
+        b0 = dev_batch(next(it))
+        variables = model.init(
+            jax.random.PRNGKey(0), b0["feats"], b0["masks"], b0["token_ids"],
+            b0["token_mask"], method=MMT4Caption.caption_loss,
+        )
+        optimizer = build_optimizer(TrainConfig(), variables["params"])
+        state = make_train_state(variables, optimizer)
+        step = make_train_step(model, optimizer, "caption")
+        state, metrics = step(state, b0)  # compile (fp16-feature signature)
+        np.asarray(metrics["loss"])
+
+        target = 5120  # ~20 batches: enough to reach loader steady state
+        n = 0
+        t0 = time.perf_counter()
+        for b in it:
+            state, metrics = step(state, dev_batch(b))
+            n += bsz
+            if n >= target:
+                break
+        np.asarray(metrics["loss"])
+        secs = time.perf_counter() - t0
+        return {"e2e_train_samples_per_sec": round(n / secs, 2),
+                "e2e_train_batch": bsz}
+    except Exception as e:  # noqa: BLE001 — report, don't kill the headline
+        return {"e2e_train_error": f"{type(e).__name__}: {e}"}
 
 
 def beam_bench(model, variables) -> dict:
@@ -414,6 +479,7 @@ def main() -> None:
 
     # ---- end-to-end eval split (load -> decode -> detok -> score) ----------
     e2e = e2e_eval_bench(variables, greedy)
+    e2e.update(e2e_train_bench(model))
 
     # ---- fused beam search + single-video latency --------------------------
     beam = beam_bench(model, variables)
