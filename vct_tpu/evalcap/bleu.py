@@ -15,7 +15,10 @@ SMALL = 1e-9
 
 
 def _ngrams(tokens: List[str], n: int) -> Counter:
-    return Counter(tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1))
+    # zip iterates at C speed and stops at the shortest tail, yielding the
+    # same len(tokens)-n+1 tuples as the index loop (and nothing when the
+    # sentence is shorter than n)
+    return Counter(zip(*(tokens[i:] for i in range(n))))
 
 
 class Bleu:
@@ -49,12 +52,18 @@ class Bleu:
             guess = [0.0] * n
             for k in range(1, n + 1):
                 hyp_counts = _ngrams(hyp, k)
-                max_ref = Counter()
-                for r in refs:
-                    for g, c in _ngrams(r, k).items():
-                        max_ref[g] = max(max_ref[g], c)
+                if len(refs) == 1:
+                    max_ref = _ngrams(refs[0], k)
+                else:
+                    max_ref = Counter()
+                    for r in refs:
+                        for g, c in _ngrams(r, k).items():
+                            if c > max_ref[g]:
+                                max_ref[g] = c
+                mr_get = max_ref.get
                 correct[k - 1] = float(
-                    sum(min(c, max_ref[g]) for g, c in hyp_counts.items())
+                    sum(c if c <= (m := mr_get(g, 0)) else m
+                        for g, c in hyp_counts.items())
                 )
                 guess[k - 1] = float(max(0, c_len - k + 1))
                 total_correct[k - 1] += correct[k - 1]

@@ -15,8 +15,8 @@ def _ngram_counts(sentence: str, n: int = 4) -> Counter:
     words = sentence.split()
     counts: Counter = Counter()
     for k in range(1, n + 1):
-        for i in range(len(words) - k + 1):
-            counts[tuple(words[i : i + k])] += 1
+        # C-speed ngram iteration; same tuples as the index loop
+        counts.update(zip(*(words[i:] for i in range(k))))
     return counts
 
 
@@ -41,30 +41,42 @@ class Cider:
             for ngram in set(g for ref in refs for g in ref):
                 doc_freq[ngram] += 1.0
         log_num_images = math.log(float(len(crefs)))
+        # idf precomputed once per corpus ngram (captions share most ngrams,
+        # so this removes a math.log per (caption, ngram) pair); ngrams never
+        # seen in any reference get df=1 -> idf = log N, the same value the
+        # per-item max(1, df) produced
+        idf = {g: log_num_images - math.log(d) if d > 1.0 else log_num_images
+               for g, d in doc_freq.items()}
+        idf_get = idf.get
 
         def counts2vec(cnts: Counter):
-            vec = [defaultdict(float) for _ in range(self.n)]
+            vec = [{} for _ in range(self.n)]
             norm = [0.0] * self.n
             length = 0
             for ngram, tf in cnts.items():
-                df = math.log(max(1.0, doc_freq[ngram]))
+                w = float(tf) * idf_get(ngram, log_num_images)
                 k = len(ngram) - 1
-                vec[k][ngram] = float(tf) * (log_num_images - df)
-                norm[k] += vec[k][ngram] ** 2
+                vec[k][ngram] = w
+                norm[k] += w * w
                 if k == 0:
                     length += tf
             return vec, [math.sqrt(x) for x in norm], length
 
         def sim(vh, vr, nh, nr, lh, lr) -> List[float]:
             delta = float(lh - lr)
+            penalty = math.exp(-(delta**2) / (2 * self.sigma**2))
             val = [0.0] * self.n
             for k in range(self.n):
+                vr_get = vr[k].get
+                acc = 0.0
                 for ngram, w in vh[k].items():
-                    # CIDEr-D clipping: min(hyp, ref) * ref
-                    val[k] += min(w, vr[k][ngram]) * vr[k][ngram]
+                    r = vr_get(ngram)
+                    if r is not None:
+                        # CIDEr-D clipping: min(hyp, ref) * ref
+                        acc += (w if w <= r else r) * r
                 if nh[k] != 0 and nr[k] != 0:
-                    val[k] /= nh[k] * nr[k]
-                val[k] *= math.exp(-(delta**2) / (2 * self.sigma**2))
+                    acc /= nh[k] * nr[k]
+                val[k] = acc * penalty
             return val
 
         scores: List[float] = []

@@ -46,14 +46,6 @@ def _synsets(word: str) -> Optional[set]:
     return SYNONYMS.get(word)
 
 
-def _match_stage(stage: int, hw: str, hs: str, hsyn, rw: str, rs: str, rsyn) -> bool:
-    if stage == 0:
-        return hw == rw
-    if stage == 1:
-        return hs == rs
-    return bool(hsyn and rsyn and (hsyn & rsyn))
-
-
 def align(hyp: Sequence[str], ref: Sequence[str]) -> List[Tuple[int, int, int]]:
     """One-to-one alignment -> [(hyp_idx, ref_idx, stage)].
 
@@ -70,18 +62,35 @@ def align(hyp: Sequence[str], ref: Sequence[str]) -> List[Tuple[int, int, int]]:
     ref_used = [False] * len(ref)
     hyp_match: List[Optional[Tuple[int, int]]] = [None] * len(hyp)  # (ref_idx, stage)
 
+    # per-stage candidate index: ref positions keyed by surface form / stem
+    # (lists stay in ascending j, preserving the scan order of the naive
+    # all-j loop); the synonym stage keeps the scan but only over ref
+    # positions that have a synset at all
+    ref_by_word: Dict[str, List[int]] = {}
+    ref_by_stem: Dict[str, List[int]] = {}
+    for j, (rw, rs) in enumerate(zip(ref, ref_stem)):
+        ref_by_word.setdefault(rw, []).append(j)
+        ref_by_stem.setdefault(rs, []).append(j)
+    ref_syn_pos = [j for j, s in enumerate(ref_syn) if s]
+
     for stage in range(len(STAGE_WEIGHTS)):
         prev_ref = -2
         for i, hw in enumerate(hyp):
             if hyp_match[i] is not None:
                 prev_ref = hyp_match[i][0]
                 continue
-            candidates = [
-                j for j in range(len(ref))
-                if not ref_used[j]
-                and _match_stage(stage, hw, hyp_stem[i], hyp_syn[i],
-                                 ref[j], ref_stem[j], ref_syn[j])
-            ]
+            if stage == 0:
+                pool = ref_by_word.get(hw, ())
+                candidates = [j for j in pool if not ref_used[j]]
+            elif stage == 1:
+                pool = ref_by_stem.get(hyp_stem[i], ())
+                candidates = [j for j in pool if not ref_used[j]]
+            else:
+                hsyn = hyp_syn[i]
+                candidates = [
+                    j for j in ref_syn_pos
+                    if not ref_used[j] and (hsyn and hsyn & ref_syn[j])
+                ] if hsyn else []
             if not candidates:
                 continue
             if prev_ref + 1 in candidates:
