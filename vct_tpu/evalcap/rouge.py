@@ -11,8 +11,14 @@ from typing import Dict, List, Tuple
 def _lcs_len(a: List[str], b: List[str]) -> int:
     if not a or not b:
         return 0
+    bset = set(b)
     prev = [0] * (len(b) + 1)
     for x in a:
+        # a row whose word matches nothing in b reproduces the previous row
+        # (DP rows are non-decreasing, so max(prev[j], cur[j-1]) == prev[j]
+        # all the way across) — skip it
+        if x not in bset:
+            continue
         cur = [0] * (len(b) + 1)
         for j, y in enumerate(b, 1):
             cur[j] = prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
