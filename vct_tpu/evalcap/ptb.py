@@ -55,7 +55,18 @@ _PTB_ESCAPES = {
 }
 
 
+# fast path: a caption that is single-space-separated lowercase ascii words
+# tokenizes to exactly its split() (no escapes, no case folding, no
+# punctuation, no contractions — the apostrophe-free contraction patterns
+# can't fire), unless a word is on the special-split list
+_PLAIN = re.compile(r"[a-z]+(?: [a-z]+)*\Z")
+
+
 def tokenize_caption(text: str) -> List[str]:
+    if _PLAIN.fullmatch(text):
+        ws = text.split(" ")
+        if not any(w in _SPECIAL_SPLITS for w in ws):
+            return ws
     out: List[str] = []
     for tok in _TOKEN.findall(text.replace("\n", " ")):
         if tok in _PTB_ESCAPES:
