@@ -195,3 +195,68 @@ def test_empty_reference_list_scores_zero():
     )
     scores = COCOScorer(verbose=False).score(gts, samples, ids)
     assert all(np.isfinite(v) for v in scores.values())
+
+
+# ---------------------------------------------------------------------------
+# the round-3 scorer fast paths must stay exactly equivalent to the naive
+# formulations (in-test reference implementations, randomized)
+# ---------------------------------------------------------------------------
+
+
+def _naive_lcs(a, b):
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0] * (len(b) + 1)
+        for j, y in enumerate(b, 1):
+            cur[j] = prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[-1]
+
+
+def test_lcs_row_skip_matches_naive_dp():
+    from vct_tpu.evalcap.rouge import _lcs_len
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(9)]
+    for _ in range(800):
+        a = list(rng.choice(words, size=int(rng.integers(0, 14))))
+        b = list(rng.choice(words, size=int(rng.integers(0, 14))))
+        assert _lcs_len(a, b) == _naive_lcs(a, b), (a, b)
+
+
+def test_ngram_counters_match_index_loop():
+    from collections import Counter
+
+    from vct_tpu.evalcap.bleu import _ngrams
+    from vct_tpu.evalcap.cider import _ngram_counts
+
+    rng = np.random.default_rng(12)
+    words = [f"w{i}" for i in range(6)]
+    for _ in range(300):
+        toks = list(rng.choice(words, size=int(rng.integers(0, 9))))
+        for n in range(1, 5):
+            naive = Counter(
+                tuple(toks[i: i + n]) for i in range(len(toks) - n + 1)
+            )
+            assert _ngrams(toks, n) == naive
+        naive_all = Counter()
+        for k in range(1, 5):
+            for i in range(len(toks) - k + 1):
+                naive_all[tuple(toks[i: i + k])] += 1
+        assert _ngram_counts(" ".join(toks), 4) == naive_all
+
+
+def test_ptb_plain_fast_path_matches_slow_path():
+    # captions that trigger the plain-lowercase fast path must tokenize
+    # exactly like the general path (force the general path by prefixing a
+    # capital letter, which only changes case handling of that word)
+    rng = np.random.default_rng(13)
+    words = ["a", "man", "is", "playing", "dog", "park", "gonna", "cannot"]
+    for _ in range(500):
+        cap = " ".join(rng.choice(words, size=int(rng.integers(1, 9))))
+        toks = ptb.tokenize_caption(cap)
+        # general path: same caption via the non-plain route (add a trailing
+        # comma, which the tokenizer drops) must agree on the word tokens
+        assert ptb.tokenize_caption(cap + " ,") == toks
