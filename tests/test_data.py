@@ -170,3 +170,66 @@ def test_vatex_dataset(tmp_path):
     assert feats[0].shape == (4, 8) and isinstance(cap, str) and vid in stems
     gt = ds.video2caption
     assert sorted(map(len, gt.values())) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# round-3 review fixes: fail-fast datasets, no leaked prefetch threads
+# ---------------------------------------------------------------------------
+
+
+def test_missing_stem_in_first_modality_raises(tmp_path):
+    """A stem present in any modality must exist in every modality — losing a
+    file from feat_dirs[0] must raise, not silently drop the video."""
+    rng = np.random.default_rng(3)
+    d0, d1 = tmp_path / "m0", tmp_path / "m1"
+    d0.mkdir(); d1.mkdir()
+    for i in range(3):
+        arr = rng.standard_normal((4, 8)).astype(np.float32)
+        if i > 0:  # v0 missing from the FIRST dir
+            np.save(d0 / f"v{i}.npy", arr)
+        np.save(d1 / f"v{i}.npy", arr)
+    ann = tmp_path / "ann.txt"
+    ann.write_text("\n".join(f"v{i} a caption" for i in range(3)))
+    with pytest.raises(FileNotFoundError, match="v0"):
+        MSVDDataset([str(d0), str(d1)], str(ann))
+
+
+def test_unknown_split_type_raises(msvd_root):
+    with pytest.raises(ValueError, match="split_type"):
+        MSVDDataset([str(msvd_root / "feats")], str(msvd_root / "train.txt"),
+                    split_type="dev")
+
+
+def test_abandoned_iterator_reaps_prefetch_thread(msvd_root):
+    """Breaking out of a prefetching loader mid-epoch must not leak the
+    producer thread blocked on a full queue."""
+    import threading
+    import time as _time
+
+    ds = MSVDDataset([str(msvd_root / "feats")], str(msvd_root / "train.txt"))
+    loader = DataLoader(ds, batch_size=2, max_frames=T_FRAMES,
+                        shuffle=False, drop_last=False, prefetch=2)
+    before = {t.ident for t in threading.enumerate()}
+    it = iter(loader)
+    next(it)  # producer started and likely blocked on the full queue
+    it.close()  # the consumer abandons the epoch (same as `break`)
+    deadline = _time.time() + 10.0
+    while _time.time() < deadline:
+        leaked = [t for t in threading.enumerate()
+                  if t.ident not in before and t.is_alive()]
+        if not leaked:
+            break
+        _time.sleep(0.05)
+    assert not leaked, f"prefetch producer leaked: {leaked}"
+
+
+def test_native_unknown_mode_raises(msvd_root):
+    from vct_tpu.data import native as native_mod
+
+    if not native_mod.available():
+        pytest.skip("native loader unavailable")
+    ds = MSVDDataset([str(msvd_root / "feats")], str(msvd_root / "train.txt"))
+    ds.mode = "by-caption"  # typo'd mode
+    with pytest.raises(ValueError, match="unknown mode"):
+        native_mod.collate_from_dataset(ds, [0, 1], batch_size=2,
+                                        max_frames=T_FRAMES)

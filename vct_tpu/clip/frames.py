@@ -98,16 +98,40 @@ def sample_frames(video_path: str, ext_type: str = "uni_12") -> np.ndarray:
             # sampler sees the TRUE frame count and still returns exactly N.
             cap.release()
             cap = cv2.VideoCapture(video_path)
-        # unknown/unreliable frame count: decode everything, then sample
-        all_frames: List[np.ndarray] = []
+        # unknown/unreliable frame count: two passes, O(sampled) memory —
+        # buffering every decoded RGB frame of a long/high-res video before
+        # sampling can run to tens of GB. Pass 1 counts (decode + discard),
+        # pass 2 keeps only the sampled indices.
+        true_count = 0
         while True:
+            ok, _ = cap.read()
+            if not ok:
+                break
+            true_count += 1
+        if true_count == 0:
+            raise RuntimeError(f"decoded 0 frames from {video_path!r}")
+        idx = frame_indices(true_count, fps, ext_type)
+        count = {}
+        for w in idx.tolist():
+            count[w] = count.get(w, 0) + 1
+        cap.release()
+        cap = cv2.VideoCapture(video_path)
+        frames = []
+        i = 0
+        last = int(idx.max())
+        while i <= last:
             ok, frame = cap.read()
             if not ok:
                 break
-            all_frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
-        if not all_frames:
-            raise RuntimeError(f"decoded 0 frames from {video_path!r}")
-        idx = frame_indices(len(all_frames), fps, ext_type)
-        return np.stack([all_frames[i] for i in idx])
+            if i in count:
+                rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                frames.extend([rgb] * count[i])
+            i += 1
+        if len(frames) != len(idx):  # second decode shorter than the first
+            raise RuntimeError(
+                f"inconsistent decode of {video_path!r}: pass 1 saw "
+                f"{true_count} frames, pass 2 stopped at {i}"
+            )
+        return np.stack(frames)
     finally:
         cap.release()

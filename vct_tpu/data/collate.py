@@ -6,8 +6,11 @@ Here every batch is a fixed rectangle:
 
 * features: [B, max_frames, E] per modality, mask [B, max_frames] True=pad
   (the reference mask convention, ``dataloader.py:246``); videos longer than
-  ``max_frames`` are uniformly subsampled (the same policy as uni_N frame
-  sampling at extraction time, ``predict_video.py:157-160``),
+  ``max_frames`` are uniformly subsampled via truncated linspace indices
+  (the native C++ loader is bit-exact with this; note it differs from the
+  extraction-time uni_N sampler in ``clip/frames.py``, which ROUNDS its
+  linspace — the reference has no collate-time subsampling to match, its
+  features arrive pre-sampled, ``predict_video.py:157-160``),
 * captions: [B, max_caption_len] token ids + pad mask via
   ``CaptionPreprocessor``,
 * short batches are padded by repeating row 0 with ``n_valid`` recording how

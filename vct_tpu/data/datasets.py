@@ -49,15 +49,17 @@ def _index_feature_dirs(feat_dirs: Sequence[str]) -> Tuple[List[str], List[Dict[
         if not m:
             raise FileNotFoundError(f"no .npy features under {d}")
         maps.append(m)
-    common = set(maps[0])
-    for m in maps[1:]:
-        missing = common - set(m)
+    # symmetric check: a stem present in ANY modality must exist in EVERY
+    # modality (comparing only against maps[0] would silently drop videos
+    # whose file was lost from the first dir)
+    union = set().union(*maps)
+    for d, m in zip(feat_dirs, maps):
+        missing = union - set(m)
         if missing:
             raise FileNotFoundError(
-                f"videos missing in modality dir: {sorted(missing)[:5]}..."
+                f"videos missing under {d}: {sorted(missing)[:5]}..."
             )
-        common &= set(m)
-    return sorted(common), maps
+    return sorted(union), maps
 
 
 class CoreDataset(abc.ABC):
@@ -74,6 +76,13 @@ class CoreDataset(abc.ABC):
     ):
         if split_type.lower() in ("val", "validate"):
             split_type = "validate"
+        if split_type not in ("train", "validate", "test"):
+            # an unknown split silently matches zero annotations -> a run
+            # that "works" on an empty dataset; fail fast instead
+            raise ValueError(
+                f"unknown split_type {split_type!r} "
+                "(expected train/validate/val/test)"
+            )
         self.split_type = split_type
         self.mode = mode
         self.feat_dirs = list(feat_dirs)

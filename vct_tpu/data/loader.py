@@ -92,10 +92,14 @@ class DataLoader:
                         feat_dtype=self.feat_dtype,
                     )
                     continue
-                except IOError as e:
-                    if "unsupported dtype" not in str(e):
+                except (IOError, RuntimeError) as e:
+                    recoverable = (
+                        isinstance(e, IOError) and "unsupported dtype" in str(e)
+                    ) or "native loader too old" in str(e)
+                    if not recoverable:
                         raise
-                    # dataset uses a dtype the C loader doesn't cover — fall
+                    # dataset uses a dtype the C loader doesn't cover, or a
+                    # stale prebuilt .so lacks the f16 entry point — fall
                     # back to the Python path permanently (same results,
                     # load_feature casts via numpy)
                     self.native = False
@@ -124,23 +128,46 @@ class DataLoader:
         sentinel = object()
         err: list = []
 
+        stop = threading.Event()
+
         def producer():
             try:
                 for b in self._batches():
-                    q.put(b)
+                    # bounded put with a stop check: if the consumer abandons
+                    # the iterator mid-epoch (break / GeneratorExit), the
+                    # thread must not stay blocked on a full queue forever
+                    while not stop.is_set():
+                        try:
+                            q.put(b, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # noqa: BLE001
                 err.append(e)
             finally:
-                q.put(sentinel)
+                while not stop.is_set():  # sentinel must land even when full
+                    try:
+                        q.put(sentinel, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # normal exhaustion: stop is a no-op, join returns immediately.
+            # abandoned iterator (break/GeneratorExit): unblock + reap the
+            # producer and drop the prefetched batches it was holding
+            stop.set()
+            t.join()
         if err:
             raise err[0]
 

@@ -148,8 +148,10 @@ def collate_from_dataset(dataset, indices, *, batch_size: int, max_frames: int,
     for i in indices:
         if dataset.mode == "by_caption":
             caption, vid = dataset.cap_vid_list[int(i)]
-        else:
+        elif dataset.mode == "by_video":
             caption, vid = "", dataset.video_ids[int(i)]
+        else:  # fail fast like CoreDataset.__getitem__, not silent by_video
+            raise ValueError(f"unknown mode {dataset.mode!r}")
         rows.append((caption, vid))
     n_valid = len(rows)
     rows = rows + [rows[0]] * (batch_size - n_valid)
@@ -157,10 +159,18 @@ def collate_from_dataset(dataset, indices, *, batch_size: int, max_frames: int,
     feats: List[np.ndarray] = []
     masks: List[np.ndarray] = []
     dims = dataset.feature_dims if hasattr(dataset, "feature_dims") else None
+    # one path resolution per row (feature_paths returns all modalities)
+    row_paths = [dataset.feature_paths(vid) for _, vid in rows]
+    if dims is None:
+        # E is constant per modality for the whole epoch — peek each
+        # modality's header once and memo it on the dataset
+        dims = getattr(dataset, "_native_peeked_dims", None)
+        if dims is None:
+            dims = [_peek_dim(row_paths[0][m]) for m in range(dataset.num_modal)]
+            dataset._native_peeked_dims = dims
     for m in range(dataset.num_modal):
-        paths = [dataset.feature_paths(vid)[m] for _, vid in rows]
-        e = dims[m] if dims else _peek_dim(paths[0])
-        f, msk = load_padded_batch(paths, max_frames, e, dtype=feat_dtype)
+        paths = [p[m] for p in row_paths]
+        f, msk = load_padded_batch(paths, max_frames, dims[m], dtype=feat_dtype)
         feats.append(f)
         masks.append(msk)
 
