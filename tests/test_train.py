@@ -518,3 +518,23 @@ def test_tp_mesh_checkpoint_resume(workspace):
         jax.tree_util.tree_leaves(jax.device_get(tr2.state.params)),
     ):
         np.testing.assert_array_equal(a, b)
+
+
+def test_periodic_checkpoint_resumes_after_its_epoch(workspace):
+    """A _epochN snapshot (taken AFTER epoch N ran) must resume at N+1 —
+    resuming must never re-apply a completed epoch's optimizer updates."""
+    import dataclasses
+    import os
+
+    from vct_tpu.train.loop import Trainer
+
+    cfg = make_config(workspace)
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, save_frequency=1,
+                                                epoch=2, earlystop=99))
+    tr = Trainer(cfg, log=lambda *_: None)
+    tr.fit()
+    snap = os.path.join(cfg.train.save_dir, cfg.train.tag + "_epoch0")
+    assert os.path.isdir(snap)
+    tr2 = Trainer(cfg, log=lambda *_: None)
+    tr2.resume(snap)
+    assert tr2.start_epoch == 1

@@ -74,7 +74,7 @@ def main(argv=None) -> None:
         # (no hidden extra epoch of updates).
         import jax
 
-        from vct_tpu.parallel.mesh import replicate
+        from vct_tpu.parallel.mesh import shard_train_state
 
         # host copy: the train step donates its input state, so the live
         # device buffers are invalidated by the profiled epoch
@@ -82,7 +82,10 @@ def main(argv=None) -> None:
         jax.profiler.start_trace(args.profile)
         trainer.train_epoch(trainer.start_epoch)
         jax.profiler.stop_trace()
-        trainer.state = replicate(trainer.mesh, state_before)
+        # re-place with the TRAINING shardings (replicate() would silently
+        # drop tensor-parallel layouts on a mesh_model>1 run; this is the
+        # same call resume() uses)
+        trainer.state = shard_train_state(trainer.mesh, state_before)
         print(f"profile trace written to {args.profile}")
     scores = trainer.fit()
     if writer is not None:

@@ -36,7 +36,7 @@ from vct_tpu.decode import (
     pipelined_map,
 )
 from vct_tpu.evalcap.scorer import COCOScorer, make_coco_sample
-from vct_tpu.models.mmt4caption import MMT4Caption
+from vct_tpu.models.mmt4caption import MMT4Caption, text_encoder_dim
 from vct_tpu.parallel.mesh import make_mesh, shard_batch_arrays, shard_train_state
 from vct_tpu.text.tokenizer import CaptionPreprocessor, make_tokenizer
 from vct_tpu.train.earlystop import EarlyStopping
@@ -213,7 +213,7 @@ class Trainer:
         # always carry matching.* keys regardless of task; torch modules are
         # built eagerly in MMT4Caption.__init__, MMT4Caption.py:86-91).
         if cfg.model.matching is not None:
-            text = jnp.zeros((b, 512 if "CLIP" in cfg.model.text_enc_type else 768))
+            text = jnp.zeros((b, text_encoder_dim(cfg.model.text_enc_type)))
             return self.model.init(
                 jax.random.PRNGKey(cfg.tpu.seed), feats, masks, caps, caps == 0, text,
                 method=MMT4Caption.cross_loss,
@@ -283,15 +283,21 @@ class Trainer:
         loader = self.loaders.get("validation")
         if loader is None:
             return {}
-        sums: Dict[str, float] = {}
         variables = {"params": self.state.params, "buffers": self.state.buffers}
+        # keep the parts on device and fetch ONCE at the end: a float(v) per
+        # batch would pay a synchronous device->host round trip per scalar
+        # (~35 ms each on a relay-attached chip) and serialize host batch
+        # prep against device compute
+        parts_list = []
         for batch in loader:
             arrays = self._shard(batch_to_arrays(batch, self.text_encoder))
-            parts = self.val_step(variables, arrays)
+            parts_list.append(self.val_step(variables, arrays))
+        if not parts_list:
+            return {}
+        sums: Dict[str, float] = {}
+        for parts in jax.device_get(parts_list):
             for k, v in parts.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
-        if not sums:
-            return {}
         return combine_eval_parts(
             self.task, sums,
             sce_alpha=self.cfg.model.caption_decoder.sce_loss_alpha,
@@ -418,7 +424,13 @@ class Trainer:
                 value = -sum(scores.get(k, 0.0) for k in METRIC_KEYS)
             else:
                 value = val_metrics.get("loss", train_loss)
-            self.earlystop(value, save_fn=lambda: self.save("_earlystop", epoch))
+            # epoch+1 everywhere a checkpoint is taken AFTER the epoch ran:
+            # the stored value is "next epoch to train", so resuming from a
+            # best/periodic snapshot never re-applies a completed epoch's
+            # updates (the `_latest` save below always used this convention)
+            self.earlystop(
+                value, save_fn=lambda: self.save("_earlystop", epoch + 1)
+            )
             if self.earlystop.early_stop:
                 self.log(f"early stop at epoch {epoch}")
                 # mark the run CONCLUDED in the rolling checkpoint: a
@@ -428,7 +440,7 @@ class Trainer:
                 break
 
             if (epoch + 1) % cfg.train.save_frequency == 0:
-                self.save(f"_epoch{epoch}", epoch)
+                self.save(f"_epoch{epoch}", epoch + 1)
             # crash/preemption recovery (SURVEY.md §5: the reference has no
             # resume story): a rolling full train-state checkpoint every
             # epoch; `--resume auto` picks it up

@@ -73,7 +73,11 @@ def make_train_step(
                 if jnp.issubdtype(dropout_rng.dtype, jnp.uint32)
                 else jax.random.key_data(dropout_rng)
             )
-            dropout_rng = jax.random.wrap_key_data(jnp.tile(data, 2), impl="rbg")
+            # an rbg key needs exactly 4 words; don't assume the incoming
+            # key is 2-word threefry (jax_default_prng_impl=rbg hands us 4)
+            if data.shape[-1] != 4:
+                data = jnp.tile(data, 4 // data.shape[-1])
+            dropout_rng = jax.random.wrap_key_data(data, impl="rbg")
 
         def loss_fn(params):
             variables = {"params": params, "buffers": state.buffers}
