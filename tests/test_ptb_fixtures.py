@@ -83,6 +83,11 @@ FIXTURES = [
     ),
     ("someone says \"let's go\"", "someone says let 's go", "quoted contraction"),
     ("won't won't", "wo n't wo n't", "won't -> wo n't"),
+    # --- alphanumeric + unicode words (CoreNLP keeps these whole) -----------
+    ("a 5th grader", "a 5th grader", "ordinal stays one token"),
+    ("an mp3 player in a 4x4", "an mp3 player in a 4x4", "alphanumeric words"),
+    ("café costs 3.5 dollars", "café costs 3.5 dollars",
+     "accented word kept; decimal number one token"),
 ]
 
 

@@ -32,6 +32,8 @@ class Cider:
         self, gts: Dict[str, List[str]], res: Dict[str, List[str]]
     ) -> Tuple[float, List[float]]:
         ids = list(gts.keys())
+        if not ids:  # empty corpus: mirror the other scorers, not log(0)
+            return 0.0, []
         crefs = [[_ngram_counts(r, self.n) for r in gts[i]] for i in ids]
         ctests = [_ngram_counts(res[i][0], self.n) for i in ids]
 

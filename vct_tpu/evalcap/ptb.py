@@ -37,10 +37,14 @@ _SPECIAL_SPLITS = {
 }
 
 _TOKEN = re.compile(
-    # hyphenated compounds stay ONE token (PTBTokenizer keeps 'well-known');
-    # words may carry an attached contraction
-    r"[a-zA-Z]+(?:-[a-zA-Z]+)*(?:'[a-zA-Z]+)?"
-    r"|\d+(?:[.,]\d+)*"  # numbers
+    # decimal/grouped numbers FIRST (alternation is first-match): '3.5'
+    # must not split at the period the word pattern can't cross
+    r"\d+(?:[.,]\d+)+"
+    # words: unicode letters AND digits ([^\W_] = \w minus underscore), so
+    # '5th', 'mp3', '4x4' and accented words ('café') stay one token like
+    # CoreNLP's PTBTokenizer; hyphenated compounds stay ONE token
+    # ('well-known'); words may carry an attached contraction
+    r"|[^\W_]+(?:-[^\W_]+)*(?:'[a-zA-Z]+)?"
     r"|\.\.\.|--"  # multi-char punct
     r"|[^\w\s]"  # single punct
 )

@@ -113,6 +113,14 @@ def dot_product_attention(
             kernel_mesh = get_kernel_mesh()
 
         def call(rate, q, k, v, bias, keep):
+            # the Pallas backward returns a ZERO bias cotangent (flash-style
+            # recompute never materializes d_logits, and every bias in this
+            # framework is a causal/padding mask constant). Make that
+            # explicit: a future LEARNED bias (ALiBi-style) must not
+            # silently train with zero gradients on this path while the XLA
+            # fallback below the shape gate trains it correctly.
+            if bias is not None:
+                bias = jax.lax.stop_gradient(bias)
             if kernel_mesh is not None and kernel_mesh.size > 1:
                 # multi-device jit: shard_map the kernel over the batch axis
                 # (set via parallel.mesh.set_kernel_mesh when

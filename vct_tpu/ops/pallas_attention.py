@@ -126,23 +126,11 @@ def fused_attention(
 
     # Build the bias at its MINIMAL broadcast shape (singleton batch/head dims
     # stay singleton; the BlockSpec index map pins them to block 0) instead of
-    # materializing a full [B, H, Tq, Tk] logits-sized tensor in HBM. Padded
-    # key columns get NEG_INF so they contribute exp(-inf)=0; padded query
-    # rows produce garbage that is sliced off.
-    if bias is None:
-        bb, bh = 1, 1
-        small = jnp.zeros((1, 1, tq_p, tk_p), jnp.float32)
-    else:
-        bias4 = bias.astype(jnp.float32)
-        bias4 = jnp.reshape(bias4, (1,) * (4 - bias4.ndim) + bias4.shape)
-        bb, bh = bias4.shape[0], bias4.shape[1]
-        # sequence dims must be materialized before padding (a bias broadcast
-        # over queries would otherwise get ZERO rows in the padding); the
-        # batch/head dims stay minimal — that's where the memory win is
-        bias4 = jnp.broadcast_to(bias4, (bb, bh, tq, tk))
-        small = jnp.pad(bias4, ((0, 0), (0, 0), (0, tq_p - tq), (0, tk_p - tk)))
-    if tk_p != tk:
-        small = small.at[:, :, :, tk:].set(NEG_INF)
+    # materializing a full [B, H, Tq, Tk] logits-sized tensor in HBM — the
+    # sequence dims must be materialized before padding (a bias broadcast
+    # over queries would otherwise get ZERO rows in the padding); shared
+    # helper with the trainable path so the padding invariant has ONE home.
+    small, bb, bh = _padded_bias(bias, tq, tk, tq_p, tk_p)
 
     bias_spec = pl.BlockSpec(
         (1, 1, tq_p, tk_p),
@@ -286,6 +274,12 @@ def fused_attention_trainable(dropout_rate, interpret, q, k, v, bias, keep_mask)
     q [B, Tq, H, D], k/v [B, Tk, H, D], bias broadcastable [B, H, Tq, Tk] or
     None, keep_mask bool [B, H, Tq, Tk] or None (required iff
     dropout_rate > 0). ``dropout_rate`` and ``interpret`` are static.
+
+    GRADIENT CONTRACT: d/d(bias) is ZERO — the recompute backward never
+    materializes the [Tq, Tk] logits gradient. Correct for mask biases
+    (causal/padding, the only biases this framework builds); a LEARNED bias
+    must NOT be routed through this function (the dispatch in
+    ops/attention.py stop_gradients the bias to make this explicit).
     """
     out, _ = _train_fwd(dropout_rate, interpret, q, k, v, bias, keep_mask)
     return out

@@ -979,7 +979,7 @@ def _sequence_decode_kernel(
 
 def fused_sequence_decode(
     emb: jnp.ndarray,          # [V, E] token embedding table
-    pe: jnp.ndarray,           # [>=max_len, E] positional table
+    pe: jnp.ndarray,           # [>= round_up(max_len, 8), E] positional table
     ck: jnp.ndarray,           # [NL, Tm_pad, B, E]
     cv: jnp.ndarray,
     mem_bias: jnp.ndarray,     # [B, Tm_pad] fp32
@@ -1024,6 +1024,8 @@ def fused_sequence_decode(
     sel = (lane[:, None] == jnp.arange(heads)[None, :]).astype(jnp.float32)
     selt = sel.T
 
+    assert pe.shape[0] >= l_pad, (
+        f"pe needs >= round_up(max_len, 8) = {l_pad} rows, got {pe.shape[0]}")
     pe3 = pe[:l_pad].reshape(l_pad, 1, e).astype(ck.dtype)
 
     def cs(shape):
@@ -1273,6 +1275,13 @@ def fused_multi_step(
     argmax chain, k_cache, v_cache with rows [w*u, w*u+u) written).
     ``pad_id`` is the embedding row forced to zero (torch padding_idx
     semantics — must match the caller's pad token, not assume 0).
+
+    Caller contract on ``l_view``: it must cover every row this window's
+    steps touch, i.e. l_view >= (w_idx + 1) * unroll. ``w_idx`` is traced,
+    so this CANNOT be asserted here; greedy_generate_multi guarantees it by
+    staging windows with l_view = round_up(hi_w * u, 8). A too-small window
+    silently drops the in-window fresh-key attention patches (wrong tokens,
+    no error).
 
     Designed latency lever: divides the per-token launch+glue overhead by
     ``unroll``. bt <= 32 (the [E, V_pad] generator rides in VMEM like
