@@ -27,8 +27,9 @@ decode of a 44 MB model is overhead/bandwidth-bound, not FLOPs-bound.
 Timing notes: every timed iteration materializes the result on host
 (np.asarray) — on this TPU relay, block_until_ready alone is not a reliable
 completion barrier until the first host transfer has warmed the path up. The
-reference-algorithm baseline is timed with >=8 iterations (median-of-2 runs)
-so vs_baseline is stable run to run (round-1 VERDICT weak #6).
+reference-algorithm baseline is timed as the best of two 4-iteration runs
+(max rate = the baseline's most favorable showing, so vs_baseline is a
+LOWER bound and stable run to run — round-1 VERDICT weak #6).
 """
 
 from __future__ import annotations
@@ -139,18 +140,21 @@ def _ensure_synth_split(root, n: int, t: int, d: int, vocab: int) -> None:
     import pathlib
 
     root = pathlib.Path(root)
-    marker = root / f"done_{n}_{t}_{d}"
+    marker = root / f"done_{n}_{t}_{d}_{vocab}"
     if marker.exists():
         return
     feat = root / "feat"
     feat.mkdir(parents=True, exist_ok=True)
-    rng = np.random.default_rng(1234)
     # a small pool of caption templates as references for the scorer
     temps = ["a man is playing a guitar", "a woman is cooking food",
              "a dog runs in the park", "people are dancing on a stage",
              "a person slices a vegetable"]
 
     def write(i: int) -> None:
+        # per-file generator: np.random.Generator is NOT thread-safe, and
+        # this runs on 16 threads — a shared rng would make the "seeded"
+        # split nondeterministic
+        rng = np.random.default_rng(1234 + i)
         arr = rng.standard_normal((t, d)).astype(np.float16)
         np.save(feat / f"vid{i:05d}.npy", arr)
 
@@ -266,11 +270,7 @@ def e2e_train_bench(model) -> dict:
             split, TPUConfig(max_frames=T, feat_transfer_dtype="float16"),
             preprocessor=prep)
 
-        def dev_batch(b):
-            return {"feats": [jnp.asarray(f) for f in b.feats],
-                    "masks": [jnp.asarray(m) for m in b.masks],
-                    "token_ids": jnp.asarray(b.token_ids),
-                    "token_mask": jnp.asarray(b.token_mask)}
+        from vct_tpu.train.step import batch_to_arrays as dev_batch
 
         it = iter(loader)
         b0 = dev_batch(next(it))
@@ -391,7 +391,7 @@ def latency_mode() -> None:
     }))
 
 
-def bf16_numerics_guard(variables, feats, masks) -> str:
+def bf16_numerics_guard() -> str:
     """Real-TPU bf16 agreement between the Pallas kernel and the XLA path on
     the flagship encoder shapes — catches relay-side kernel regressions the
     CPU interpret-mode tests can't see (round-1 VERDICT #10)."""
@@ -417,7 +417,7 @@ def bf16_numerics_guard(variables, feats, masks) -> str:
 
     out_pal = np.asarray(fused_attention(q, k, v, bias), np.float32)
     out_xla = np.asarray(jax.jit(xla_ref)(q, k, v, bias), np.float32)
-    err = np.abs(out_pal - out_xla)[:, :, :, :].max()
+    err = np.abs(out_pal - out_xla).max()
     if err > 0.05:  # bf16 resolution at these magnitudes is ~0.01-0.03
         return f"FAIL max_abs_diff={err:.4f}"
     return f"ok max_abs_diff={err:.4f}"
@@ -535,7 +535,7 @@ def main() -> None:
     del pstate, pbatch
 
     # ---- bf16 numerics guard ------------------------------------------------
-    guard = bf16_numerics_guard(variables, feats, masks)
+    guard = bf16_numerics_guard()
 
     # ---- reference algorithm: no cache, full re-run, host argmax loop ------
     encode = jax.jit(lambda v, f, m: model.apply(v, f, m, method=MMT4Caption.encode))

@@ -55,6 +55,28 @@ def test_import_bert_embeddings(variables):
     )
 
 
+def test_import_bert_embeddings_real_table_shape(variables):
+    """Real BERT checkpoints carry a (512, E) position table while the
+    model's buffer is (5000, E) (decoder PE maxlen) — the importer must
+    write it over the first 512 rows like the reference's buffer rebind
+    (``MMT4Caption.py:220``), not raise a shape mismatch."""
+    rng = np.random.default_rng(4)
+    pos = rng.standard_normal((512, E)).astype(np.float32)
+    bert = {
+        "embeddings.word_embeddings.weight": rng.standard_normal((V, E)).astype(np.float32),
+        "embeddings.position_embeddings.weight": pos,
+    }
+    before = np.asarray(
+        variables["buffers"]["cap_decoder"]["positional_encoding"]["pos_embedding"]
+    )
+    out = import_bert_embeddings(variables, bert)
+    after = np.asarray(
+        out["buffers"]["cap_decoder"]["positional_encoding"]["pos_embedding"]
+    )
+    np.testing.assert_array_equal(after[:512], pos)
+    np.testing.assert_array_equal(after[512:], before[512:])  # sinusoid kept
+
+
 def _fake_univl(rng):
     sd = {}
     for l in range(L):

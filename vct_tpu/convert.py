@@ -136,10 +136,7 @@ def convert_state_dict(
     has 'missing' (flax leaves not found in the checkpoint) and 'unexpected'
     (checkpoint keys never consumed) — mirroring torch's strict=False report.
     """
-    import jax
-
-    new_vars = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
-    # unfreeze-ish: rebuild as plain nested dicts
+    # rebuild as plain nested dicts (copy; the originals stay untouched)
     def to_dict(t):
         return {k: to_dict(v) for k, v in t.items()} if isinstance(t, dict) else t
 
@@ -164,9 +161,28 @@ def convert_state_dict(
             if transpose:
                 arr = arr.T
             if arr.shape != leaf.shape:
-                raise ValueError(
-                    f"shape mismatch for {key}: checkpoint {arr.shape} vs model {leaf.shape}"
-                )
+                if (
+                    path[-1] == "pos_embedding"
+                    and arr.ndim == leaf.ndim == 2
+                    and arr.shape[1] == leaf.shape[1]
+                    and arr.shape[0] < leaf.shape[0]
+                ):
+                    # real BERT/UniVL position tables are (512, E) while the
+                    # model's buffer is (5000, E) (decoder PE maxlen,
+                    # reference Embedding.py:11). The reference REBINDS the
+                    # buffer to the shorter table (MMT4Caption.py:220,281);
+                    # flax buffers keep their shape, so write the imported
+                    # rows over the first 512 — identical for every decode
+                    # length <= 512 (rows past that stay sinusoidal where
+                    # the reference would index-error).
+                    merged = np.asarray(leaf).copy()
+                    merged[: arr.shape[0]] = arr
+                    arr = merged
+                else:
+                    raise ValueError(
+                        f"shape mismatch for {key}: checkpoint {arr.shape} "
+                        f"vs model {leaf.shape}"
+                    )
             _set_in(new_vars[collection], path, jnp.asarray(arr, dtype=leaf.dtype))
             used.add(key)
 

@@ -55,6 +55,23 @@ def make_video_caption_fn(
         feats = feats.reshape(n, t, feats.shape[-1]).astype(jnp.float32)
         masks = [jnp.zeros((n, t), bool)]
         if beam_size > 1:
+            # fused beam kernels when eligible (same rules as the eval
+            # path's make_auto_beam_fn — the shape checks are static here)
+            if (
+                model.tpu.use_pallas_attention
+                and jax.default_backend() == "tpu"
+            ):
+                from vct_tpu.decode_fast import (
+                    beam_generate_fused,
+                    fused_beam_supported,
+                )
+
+                if fused_beam_supported(n, beam_size):
+                    return beam_generate_fused(
+                        model, variables, [feats], masks,
+                        beam_size=beam_size, max_len=max_len,
+                        start_id=start_id, end_id=end_id,
+                    )
             from vct_tpu.decode import beam_generate
 
             return beam_generate(
