@@ -50,6 +50,15 @@ def _is_punctuation(ch: str) -> bool:
     return unicodedata.category(ch).startswith("P")
 
 
+# ASCII fast-path table for _clean: \t\n\r -> space, other controls (0-31,
+# 127) and NUL deleted, everything else kept — exactly what the per-char
+# loop does for ASCII input, at str.translate speed
+_ASCII_CLEAN = {i: None for i in range(32)}
+_ASCII_CLEAN[0x7F] = None
+for _ws in ("\t", "\n", "\r"):
+    _ASCII_CLEAN[ord(_ws)] = " "
+
+
 def _is_cjk(cp: int) -> bool:
     return (
         0x4E00 <= cp <= 0x9FFF
@@ -101,6 +110,8 @@ class WordPieceTokenizer:
     # -- basic tokenization ---------------------------------------------------
 
     def _clean(self, text: str) -> str:
+        if text.isascii():
+            return text.translate(_ASCII_CLEAN)
         out = []
         for ch in text:
             cp = ord(ch)
@@ -110,6 +121,8 @@ class WordPieceTokenizer:
         return "".join(out)
 
     def _space_cjk(self, text: str) -> str:
+        if text.isascii():  # no CJK codepoints below 128
+            return text
         out = []
         for ch in text:
             if _is_cjk(ord(ch)):
@@ -127,6 +140,10 @@ class WordPieceTokenizer:
 
     @staticmethod
     def _split_punct(token: str) -> List[str]:
+        # alphanumeric chars (any script) are category L*/N*, never P*, and
+        # never in BERT's ASCII punctuation ranges — no split possible
+        if token.isalnum():
+            return [token]
         out: List[List[str]] = []
         new_word = True
         for ch in token:
@@ -145,7 +162,9 @@ class WordPieceTokenizer:
         tokens: List[str] = []
         for tok in text.split():
             if self.do_lower_case:
-                tok = self._strip_accents(tok.lower())
+                tok = tok.lower()
+                if not tok.isascii():  # NFD is the identity on ASCII
+                    tok = self._strip_accents(tok)
             tokens.extend(self._split_punct(tok))
         return [t for t in tokens if t]
 
