@@ -144,6 +144,13 @@ def _ensure_synth_split(root, n: int, t: int, d: int, vocab: int) -> None:
     if marker.exists():
         return
     feat = root / "feat"
+    if root.exists():
+        # a DIFFERENT-shape split lives here: wipe it — by_video datasets
+        # glob every .npy in the dir, so stale extra files from a larger
+        # previous split would leak into the new one
+        import shutil
+
+        shutil.rmtree(root)
     feat.mkdir(parents=True, exist_ok=True)
     # a small pool of caption templates as references for the scorer
     temps = ["a man is playing a guitar", "a woman is cooking food",
