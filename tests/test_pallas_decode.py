@@ -502,3 +502,34 @@ def test_sequence_kernel_opt_in_dispatch(rng):
         sequence_kernel=True, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
+
+
+@pytest.mark.parametrize("e,h,t,b,bb", [(96, 3, 5, 6, 3), (64, 8, 9, 4, 4)])
+def test_fused_greedy_geometry_sweep(rng, e, h, t, b, bb):
+    """Token-exactness must hold across head/dim/frame geometries, not just
+    the fixture's (E=128, H=4, T=6) — odd head counts, non-128 E, odd frame
+    counts, and batch tiles that split the batch unevenly-shaped programs."""
+    cfg = ModelConfig.from_dict({
+        "modal": ["CLIP4Clip"], "modal_shape": [D_FEAT], "embed_dim": e,
+        "dropout": 0.0, "vocab_size": VOCAB, "activation": "gelu",
+        "video_encoder": {"layer": 1, "nhead": h, "feedforward": FF,
+                          "mme": {"temporal": "encoding", "aggregation": "avg"}},
+        "caption_decoder": {"layer": 2, "nhead": h, "feedforward": FF,
+                            "sce_loss_alpha": 0.5},
+    })
+    model = MMT4Caption(cfg, TPUConfig())
+    feats = [jnp.asarray(rng.standard_normal((b, t, D_FEAT)).astype(np.float32))]
+    pad = np.zeros((b, t), bool)
+    pad[0, -1] = True
+    masks = [jnp.asarray(pad)]
+    caps = jnp.zeros((b, MAX_LEN), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(5), feats, masks, caps,
+                           caps == 0, method=MMT4Caption.caption_loss)
+    ref, _ = greedy_generate(
+        model, variables, feats, masks, max_len=MAX_LEN, start_id=2, end_id=7,
+    )
+    fused, _ = greedy_generate_fused(
+        model, variables, feats, masks, max_len=MAX_LEN, start_id=2, end_id=7,
+        block_b=bb, block_v=256, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
