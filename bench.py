@@ -260,6 +260,7 @@ def e2e_train_bench(model) -> dict:
     from vct_tpu.text.tokenizer import CaptionPreprocessor, make_tokenizer
     from vct_tpu.train.optimizers import build_optimizer
     from vct_tpu.train.state import make_train_state
+    from vct_tpu.train.step import batch_to_arrays as dev_batch
     from vct_tpu.train.step import make_train_step
 
     try:
@@ -276,8 +277,6 @@ def e2e_train_bench(model) -> dict:
         _, loader = build_dataloader(
             split, TPUConfig(max_frames=T, feat_transfer_dtype="float16"),
             preprocessor=prep)
-
-        from vct_tpu.train.step import batch_to_arrays as dev_batch
 
         it = iter(loader)
         b0 = dev_batch(next(it))

@@ -63,6 +63,28 @@ def frame_indices(n_frames: int, fps: float, ext_type: str) -> np.ndarray:
     return ((edges[:-1] + edges[1:]) / 2).astype(np.int64).clip(0, n_frames - 1)
 
 
+def _scan_sampled(cap, idx) -> list:
+    """Sequentially decode up to max(idx) and keep the sampled frames (with
+    multiplicity) — cheaper + more reliable than CAP_PROP_POS_FRAMES seeks.
+    Returns fewer than len(idx) frames when the stream ends early."""
+    import cv2
+
+    count: dict = {}
+    for w in idx.tolist():
+        count[w] = count.get(w, 0) + 1
+    frames: list = []
+    i, last = 0, int(idx.max())
+    while i <= last:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if i in count:
+            rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            frames.extend([rgb] * count[i])
+        i += 1
+    return frames
+
+
 def sample_frames(video_path: str, ext_type: str = "uni_12") -> np.ndarray:
     """Decode ``video_path`` and return sampled uint8 RGB frames [T, H, W, 3]."""
     import cv2
@@ -75,26 +97,11 @@ def sample_frames(video_path: str, ext_type: str = "uni_12") -> np.ndarray:
         n_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
         if n_frames > 0:
             wanted = frame_indices(n_frames, fps, ext_type)
-            frames: List[np.ndarray] = []
-            # sequential scan: cheaper + more reliable than CAP_PROP_POS_FRAMES
-            # seeks, and sampled sets are small anyway
-            last = int(wanted.max())
-            i = 0
-            count: dict = {}
-            for w in wanted.tolist():
-                count[w] = count.get(w, 0) + 1
-            while i <= last:
-                ok, frame = cap.read()
-                if not ok:
-                    break
-                if i in count:
-                    rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-                    frames.extend([rgb] * count[i])
-                i += 1
+            frames = _scan_sampled(cap, wanted)
             if len(frames) == len(wanted):
                 return np.stack(frames)
             # CAP_PROP_FRAME_COUNT over-reported (common with VFR mp4) and the
-            # scan came up short; fall through to the decode-all path so the
+            # scan came up short; fall through to the two-pass path so the
             # sampler sees the TRUE frame count and still returns exactly N.
             cap.release()
             cap = cv2.VideoCapture(video_path)
@@ -111,26 +118,13 @@ def sample_frames(video_path: str, ext_type: str = "uni_12") -> np.ndarray:
         if true_count == 0:
             raise RuntimeError(f"decoded 0 frames from {video_path!r}")
         idx = frame_indices(true_count, fps, ext_type)
-        count = {}
-        for w in idx.tolist():
-            count[w] = count.get(w, 0) + 1
         cap.release()
         cap = cv2.VideoCapture(video_path)
-        frames = []
-        i = 0
-        last = int(idx.max())
-        while i <= last:
-            ok, frame = cap.read()
-            if not ok:
-                break
-            if i in count:
-                rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-                frames.extend([rgb] * count[i])
-            i += 1
+        frames = _scan_sampled(cap, idx)
         if len(frames) != len(idx):  # second decode shorter than the first
             raise RuntimeError(
                 f"inconsistent decode of {video_path!r}: pass 1 saw "
-                f"{true_count} frames, pass 2 stopped at {i}"
+                f"{true_count} frames, pass 2 came up short"
             )
         return np.stack(frames)
     finally:

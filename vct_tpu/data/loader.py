@@ -93,12 +93,15 @@ class DataLoader:
                     )
                     continue
                 except (IOError, RuntimeError) as e:
-                    recoverable = (
+                    from vct_tpu.data.native import NativeLoaderTooOld
+
+                    recoverable = isinstance(e, NativeLoaderTooOld) or (
                         isinstance(e, IOError) and "unsupported dtype" in str(e)
-                    ) or "native loader too old" in str(e)
+                    )
                     if not recoverable:
                         raise
-                    # dataset uses a dtype the C loader doesn't cover, or a
+                    # dataset uses a dtype the C loader doesn't cover (the
+                    # C++ side reports it through the IOError message), or a
                     # stale prebuilt .so lacks the f16 entry point — fall
                     # back to the Python path permanently (same results,
                     # load_feature casts via numpy)
@@ -130,29 +133,27 @@ class DataLoader:
 
         stop = threading.Event()
 
+        def put_until_stop(item) -> bool:
+            """Bounded put with a stop check: if the consumer abandons the
+            iterator mid-epoch (break / GeneratorExit), the thread must not
+            stay blocked on a full queue forever."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for b in self._batches():
-                    # bounded put with a stop check: if the consumer abandons
-                    # the iterator mid-epoch (break / GeneratorExit), the
-                    # thread must not stay blocked on a full queue forever
-                    while not stop.is_set():
-                        try:
-                            q.put(b, timeout=0.2)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not put_until_stop(b):
                         return
             except BaseException as e:  # noqa: BLE001
                 err.append(e)
             finally:
-                while not stop.is_set():  # sentinel must land even when full
-                    try:
-                        q.put(sentinel, timeout=0.2)
-                        break
-                    except queue.Full:
-                        continue
+                put_until_stop(sentinel)  # must land even when the queue is full
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

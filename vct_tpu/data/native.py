@@ -28,6 +28,11 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+class NativeLoaderTooOld(RuntimeError):
+    """A prebuilt libnpyloader.so predates an entry point the caller needs;
+    the Python path is equivalent — callers should fall back, not crash."""
+
+
 def _build() -> bool:
     if not _SRC.exists():
         return False
@@ -108,7 +113,7 @@ def load_padded_batch(
         raise RuntimeError("native loader unavailable")
     dtype = np.dtype(dtype)
     if dtype == np.float16 and not hasattr(lib, "nl_load_padded_f16"):
-        raise RuntimeError("native loader too old for float16 output")
+        raise NativeLoaderTooOld("native loader too old for float16 output")
     if dtype not in (np.dtype(np.float32), np.dtype(np.float16)):
         raise ValueError(f"dtype must be float32 or float16, got {dtype}")
     n = len(paths)
