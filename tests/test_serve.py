@@ -370,3 +370,27 @@ def test_sustained_concurrent_load(server):
         _time.sleep(0.05)
     assert server.service._queue.qsize() == 0
     assert _time.monotonic() - t0 < 700
+
+
+def test_beam_serving(workspace):
+    """tpu.beam_size > 1 serves beam-search captions through the same
+    micro-batching path (a capability the reference stubs entirely)."""
+    import dataclasses
+
+    from vct_tpu.config import load_config
+    from vct_tpu.serve import serve
+
+    cfg = load_config(str(workspace / "config.json"))
+    cfg = cfg.replace(tpu=dataclasses.replace(cfg.tpu, beam_size=2))
+    srv = serve(cfg, str(workspace / "ckpt" / "cli_srv"), host="127.0.0.1",
+                port=0, max_batch=2, batch_timeout_ms=30.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.default_rng(3)
+        arr = rng.standard_normal((T, E_FEAT)).astype(np.float32)
+        status, payload = _post(srv, "/v1/caption", _npy_bytes(arr))
+        assert status == 200 and isinstance(payload["caption"], str)
+    finally:
+        srv.shutdown()
+        srv.service.close()

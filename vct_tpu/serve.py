@@ -70,11 +70,22 @@ class CaptionService:
         self.batch_timeout = batch_timeout_ms / 1000.0
         self.model, self.tokenizer, variables = make_trainer_pieces(cfg)
         self.variables = load_checkpoint_into(variables, ckpt_path, log=log)
-        # fused Pallas decode on TPU; module-graph fallback elsewhere
-        self.decode_fn = make_auto_greedy_fn(
-            self.model, cfg.test.max_length,
-            self.tokenizer.start_id, self.tokenizer.end_id,
-        )
+        # fused Pallas decode on TPU; module-graph fallback elsewhere.
+        # tpu.beam_size > 1 serves beam search (fused kernels when eligible),
+        # the same dispatch the Trainer's epoch eval uses.
+        if cfg.tpu.beam_size > 1:
+            from vct_tpu.decode import make_auto_beam_fn
+
+            self.decode_fn = make_auto_beam_fn(
+                self.model, cfg.test.max_length,
+                self.tokenizer.start_id, self.tokenizer.end_id,
+                cfg.tpu.beam_size,
+            )
+        else:
+            self.decode_fn = make_auto_greedy_fn(
+                self.model, cfg.test.max_length,
+                self.tokenizer.start_id, self.tokenizer.end_id,
+            )
         self._jnp = jnp
 
         self.clip_params = None
