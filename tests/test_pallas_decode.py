@@ -533,3 +533,39 @@ def test_fused_greedy_geometry_sweep(rng, e, h, t, b, bb):
         block_b=bb, block_v=256, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+
+def test_fused_greedy_multimodal(rng):
+    """Two modalities (different dims + temporal lengths): the fused path
+    sees only the encoder's concatenated memory, so exactness must hold for
+    multi-modal models too (MME modal embeddings + per-modal masks)."""
+    d2, t2 = 16, 4
+    cfg = ModelConfig.from_dict({
+        "modal": ["CLIP4Clip", "S3D"], "modal_shape": [D_FEAT, d2],
+        "embed_dim": E, "dropout": 0.0, "vocab_size": VOCAB,
+        "activation": "gelu",
+        "video_encoder": {"layer": 1, "nhead": H, "feedforward": FF,
+                          "mme": {"temporal": "encoding", "aggregation": "avg",
+                                  "modal_different": True}},
+        "caption_decoder": {"layer": 2, "nhead": H, "feedforward": FF,
+                            "sce_loss_alpha": 0.5},
+    })
+    model = MMT4Caption(cfg, TPUConfig())
+    feats = [
+        jnp.asarray(rng.standard_normal((B, T, D_FEAT)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((B, t2, d2)).astype(np.float32)),
+    ]
+    pad0 = np.zeros((B, T), bool); pad0[1, -2:] = True
+    pad1 = np.zeros((B, t2), bool); pad1[2, -1:] = True
+    masks = [jnp.asarray(pad0), jnp.asarray(pad1)]
+    caps = jnp.zeros((B, MAX_LEN), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(9), feats, masks, caps,
+                           caps == 0, method=MMT4Caption.caption_loss)
+    ref, _ = greedy_generate(
+        model, variables, feats, masks, max_len=MAX_LEN, start_id=2, end_id=7,
+    )
+    fused, _ = greedy_generate_fused(
+        model, variables, feats, masks, max_len=MAX_LEN, start_id=2, end_id=7,
+        block_b=2, block_v=256, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
