@@ -569,3 +569,37 @@ def test_fused_greedy_multimodal(rng):
         block_b=2, block_v=256, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+
+@pytest.mark.parametrize("enc_type,layer", [("simple", 1), ("hmme", [2, 1])])
+def test_fused_greedy_encoder_variants(rng, enc_type, layer):
+    """The fused decode path must be token-exact for the SimpleSep and HMME
+    encoder variants too — their memories have different layouts (per-modal
+    stacks / hierarchical entry), but the decoder sees only [B, Tm, E]."""
+    d2, t2 = 16, 4
+    cfg = ModelConfig.from_dict({
+        "modal": ["a", "b"], "modal_shape": [D_FEAT, d2], "embed_dim": E,
+        "dropout": 0.0, "vocab_size": VOCAB, "activation": "gelu",
+        "video_encoder": {"type": enc_type, "layer": layer, "nhead": H,
+                          "feedforward": FF,
+                          "mme": {"temporal": "encoding", "aggregation": "avg"}},
+        "caption_decoder": {"layer": 2, "nhead": H, "feedforward": FF,
+                            "sce_loss_alpha": 0.5},
+    })
+    model = MMT4Caption(cfg, TPUConfig())
+    feats = [
+        jnp.asarray(rng.standard_normal((B, T, D_FEAT)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((B, t2, d2)).astype(np.float32)),
+    ]
+    masks = [jnp.zeros((B, T), bool), jnp.zeros((B, t2), bool)]
+    caps = jnp.zeros((B, MAX_LEN), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(11), feats, masks, caps,
+                           caps == 0, method=MMT4Caption.caption_loss)
+    ref, _ = greedy_generate(
+        model, variables, feats, masks, max_len=MAX_LEN, start_id=2, end_id=7,
+    )
+    fused, _ = greedy_generate_fused(
+        model, variables, feats, masks, max_len=MAX_LEN, start_id=2, end_id=7,
+        block_b=2, block_v=256, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
