@@ -76,7 +76,11 @@ def predict(cfg, args, log=print) -> str:
     import jax.numpy as jnp
 
     from vct_tpu.decode import detokenize_batch as detokenize_list
-    from vct_tpu.decode import make_beam_fn, make_greedy_fn
+    from vct_tpu.decode import (
+        make_auto_beam_fn,
+        make_auto_greedy_fn,
+        make_greedy_fn,
+    )
 
     model, tokenizer, variables = make_trainer_pieces(cfg)
     variables = load_checkpoint_into(variables, args.model, log=log, cfg=cfg)
@@ -123,12 +127,19 @@ def predict(cfg, args, log=print) -> str:
     if beam:
         if collect_attn:
             raise SystemExit("--vis_attn requires --greedy (per-step attention)")
-        fn = make_beam_fn(model, cfg.test.max_length,
-                          tokenizer.start_id, tokenizer.end_id, beam)
-    else:
+        # auto dispatch: fused beam kernels on TPU when eligible, module
+        # graph elsewhere — same path as eval/serving
+        fn = make_auto_beam_fn(model, cfg.test.max_length,
+                               tokenizer.start_id, tokenizer.end_id, beam)
+    elif collect_attn:
+        # attention capture needs the module graph (per-step weights)
         fn = make_greedy_fn(model, cfg.test.max_length,
                             tokenizer.start_id, tokenizer.end_id,
-                            collect_attn=collect_attn)
+                            collect_attn=True)
+    else:
+        # B=1 rides the whole-step fused kernel on TPU (p50 ~35 ms)
+        fn = make_auto_greedy_fn(model, cfg.test.max_length,
+                                 tokenizer.start_id, tokenizer.end_id)
 
     out = fn(variables, [jnp.asarray(f) for f in feats], [jnp.asarray(m) for m in masks])
     tokens, attn = out[0], (out[1] if len(out) > 1 else None)
