@@ -611,10 +611,139 @@ def main() -> None:
     )
 
 
+# ---------------------------------------------------------------------------
+# Outage-resilient driver wrapper (round-3 VERDICT #1).
+#
+# The TPU relay tunnel on this rig goes down for HOURS at a time (CLAUDE.md;
+# round 3's BENCH_r03.json is rc=1 because main() touched the device with no
+# outage handling). The default entry point therefore never touches the
+# backend itself: it probes jax.devices() in a SUBPROCESS (a hung or poisoned
+# backend init can't wedge this process), runs the real bench (``--run``) as a
+# child with a bounded timeout, and retries with backoff across a generous
+# window. While waiting it prints one-line JSON heartbeats so that even a
+# killed capture leaves a structured last line, and on persistent failure it
+# prints ONE structured error JSON and exits 0 — ``parsed`` is never null.
+# ---------------------------------------------------------------------------
+
+_HEADLINE = {"metric": "greedy_caption_throughput", "value": None,
+             "unit": "captions/sec/chip", "vs_baseline": None}
+
+
+def _probe_backend(timeout_s: float = 110.0) -> "tuple[bool, str]":
+    """jax.devices() in a child process, bounded. CLAUDE.md probe pattern:
+    when the tunnel is down the call either hangs or raises UNAVAILABLE."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"jax.devices() probe hung >{timeout_s:.0f}s"
+    if r.returncode == 0:
+        return True, ""
+    tail = (r.stderr or r.stdout or "").strip().splitlines()
+    return False, tail[-1][-300:] if tail else f"probe rc={r.returncode}"
+
+
+def _run_child(timeout_s: float, extra_args: "list[str]") -> "tuple[int, str, str]":
+    """Run ``bench.py --run`` as a subprocess; return (rc, stdout, err_tail).
+
+    A child keeps a mid-run tunnel death from poisoning the retry loop — jax
+    caches a failed backend init for the life of the process."""
+    import os
+    import subprocess
+    import sys
+
+    here = os.path.abspath(__file__)
+    try:
+        r = subprocess.run(
+            [sys.executable, here, "--run", *extra_args],
+            timeout=timeout_s, capture_output=True, text=True,
+            cwd=os.path.dirname(here),
+        )
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout.decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        return 124, out, f"bench attempt hung >{timeout_s:.0f}s"
+    err_tail = "\n".join((r.stderr or "").strip().splitlines()[-8:])
+    return r.returncode, r.stdout or "", err_tail
+
+
+def _extract_json_line(stdout: str) -> "str | None":
+    """Last stdout line that parses as a JSON object with a ``metric`` key."""
+    for line in reversed(stdout.strip().splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(obj, dict) and "metric" in obj:
+            return line
+    return None
+
+
+def resilient_main(extra_args: "list[str]") -> int:
+    import os
+    import sys
+
+    window_s = float(os.environ.get("VCT_BENCH_WINDOW_S", "10800"))
+    attempt_timeout_s = float(os.environ.get("VCT_BENCH_ATTEMPT_TIMEOUT_S",
+                                             "2700"))
+    deadline = time.monotonic() + window_s
+    delay = 60.0
+    attempt = 0
+    consec_run_failures = 0
+    last_err = ""
+
+    while True:
+        attempt += 1
+        ok, probe_err = _probe_backend()
+        if ok:
+            rc, stdout, err_tail = _run_child(attempt_timeout_s, extra_args)
+            line = _extract_json_line(stdout) if rc == 0 else None
+            if line is not None:
+                print(line, flush=True)
+                return 0
+            last_err = f"bench rc={rc}: {err_tail}"[:500]
+            # Backend up but the bench itself failed twice in a row: that is
+            # a code bug, not an outage — burn no more of the window.
+            consec_run_failures += 1
+            if consec_run_failures >= 2:
+                break
+        else:
+            consec_run_failures = 0
+            last_err = f"tpu_unavailable: {probe_err}"[:500]
+        if time.monotonic() >= deadline:
+            break
+        # Heartbeat: a structured line so a run killed mid-wait still leaves
+        # parseable output (the driver reads the last JSON line).
+        print(json.dumps({
+            **_HEADLINE, "error": "retrying", "detail": last_err,
+            "attempt": attempt, "next_retry_s": round(delay),
+            "window_remaining_s": round(deadline - time.monotonic()),
+        }), flush=True)
+        sys.stdout.flush()
+        time.sleep(min(delay, max(deadline - time.monotonic(), 0.0)))
+        delay = min(delay * 1.7, 900.0)
+
+    print(json.dumps({
+        **_HEADLINE, "error": "bench_failed_after_retry_window",
+        "detail": last_err, "attempts": attempt,
+        "window_s": round(window_s),
+    }), flush=True)
+    return 0
+
+
 if __name__ == "__main__":
     import sys
 
     if "--latency" in sys.argv:
         latency_mode()
-    else:
+    elif "--run" in sys.argv:
         main()
+    else:
+        sys.exit(resilient_main([a for a in sys.argv[1:] if a != "--run"]))
