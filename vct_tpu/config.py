@@ -337,6 +337,14 @@ class TPUConfig:
     # for chips where the generator GEMM is the binding resource. Ignored
     # for fp32 compute dtypes and on loss-only (validation) forwards.
     fused_loss_stash: bool = False
+    # Run the fused-loss vocab sweeps as software-pipelined Mosaic kernels
+    # (ops.pallas_loss): the chunk GEMM (MXU) overlaps the exp/compare sweep
+    # (VPU) instead of serializing with it as the XLA scans do (the round-3
+    # trace pinned the scans at ~12.6 ms of a B=256 step). Same values and
+    # gradients to float-summation order (tests/test_pallas_loss.py). The
+    # Trainer turns this off on multi-device meshes — Mosaic kernels are
+    # single-device programs and the scans shard freely under GSPMD.
+    fused_loss_pallas: bool = True
     # Replicate reference quirks bit-for-bit (see SURVEY.md Appendix A and
     # models/ docstrings) instead of the corrected semantics.
     quirk_unmasked_aggregation: bool = False

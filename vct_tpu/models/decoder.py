@@ -93,6 +93,9 @@ class CapDecoder(nn.Module):
     # GEMMs per train step; no effect on loss-only forwards / fp32 dtypes).
     # Default off: measured neutral on v5e — see TPUConfig.fused_loss_stash.
     fused_loss_stash: bool = False
+    # Route the fused-loss sweeps through the software-pipelined Mosaic
+    # kernels when shapes are eligible (see TPUConfig.fused_loss_pallas).
+    fused_loss_pallas: bool = False
 
     def setup(self):
         self.decoder = TransformerDecoder(
@@ -203,6 +206,7 @@ class CapDecoder(nn.Module):
                 self.fused_loss_block_v,
                 self.sce_loss_alpha != 1.0,
                 self.fused_loss_stash,
+                self.fused_loss_pallas,
             )
         else:
             logits = self.generator(outs)

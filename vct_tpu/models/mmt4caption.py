@@ -110,6 +110,7 @@ class MMT4Caption(nn.Module):
             partition_kernels=self.tpu.pallas_partition_kernels,
             use_fused_loss=self.tpu.use_fused_loss,
             fused_loss_stash=self.tpu.fused_loss_stash,
+            fused_loss_pallas=self.tpu.fused_loss_pallas,
             name="cap_decoder",
         )
         if cfg.matching is not None:

@@ -88,7 +88,7 @@ def _pad_vocab(wg, bg, block_v):
     return wg, bg, v_pad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def linear_sce_parts(
     x: jnp.ndarray,        # [N, E] decoder outputs (generator input)
     wg: jnp.ndarray,       # [E, V] generator kernel (fp32 param)
@@ -100,6 +100,7 @@ def linear_sce_parts(
     block_v: int = 2048,
     with_rce: bool = True,
     stash: bool = False,   # keep the dtype logits for pass 2 + backward
+    use_pallas: bool = False,  # Mosaic kernels for the sweeps (TPU only)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (ce_sum, ce_n, rce_sum, rce_n), identical in meaning to
     ``losses.sce_loss_parts(generator(x), labels, ...)`` with
@@ -108,10 +109,155 @@ def linear_sce_parts(
     ``stash`` trades a [N, V] dtype-width residual for two generator GEMMs
     (same values to float-summation order); it only takes effect under
     differentiation and for 16-bit dtypes — the primal call always
-    recomputes."""
-    out, _ = _fwd_impl(x, wg, bg, labels, keep_ce, m_rce, dtype, block_v,
-                       with_rce, stash=False)
+    recomputes. ``use_pallas`` routes the vocab sweeps through the
+    software-pipelined Mosaic kernels (``ops.pallas_loss``) when the shapes
+    are eligible (TPU backend, E % 128 == 0, big enough N/V); ``stash`` is
+    then moot — the kernels overlap the recompute GEMM with the VPU sweep."""
+    if _pallas_ok(use_pallas, x, wg, dtype):
+        out, _ = _pallas_fwd_impl(x, wg, bg, labels, keep_ce, m_rce, dtype,
+                                  with_rce)
+    else:
+        out, _ = _fwd_impl(x, wg, bg, labels, keep_ce, m_rce, dtype, block_v,
+                           with_rce, stash=False)
     return out
+
+
+# Mosaic kernel tile geometry (ops.pallas_loss). block_v 512 keeps the
+# two-slab z pipeline + weight tiles within VMEM at block_n 1024.
+_PALLAS_BLOCK_N = 1024
+_PALLAS_BLOCK_V = 512
+
+# Test hook: run the Mosaic kernels in interpreter mode on any backend so the
+# full custom_vjp dispatch is exercised on CPU (tests/test_pallas_loss.py).
+_INTERPRET = False
+
+
+def _pallas_ok(use_pallas: bool, x, wg, dtype) -> bool:
+    """Kernel eligibility — mirrors ops.attention._pallas_eligible's stance:
+    the kernel must actually pay. Tiny N (tests, B=1 decode-side losses)
+    and CPU runs ride the XLA scans; meshes are handled by the Trainer,
+    which only sets use_pallas on single-device meshes (Mosaic kernels are
+    single-device programs)."""
+    if not use_pallas:
+        return False
+    return (
+        x.ndim == 2
+        and x.shape[0] >= 256
+        and x.shape[1] % 128 == 0
+        and wg.shape[1] >= 2 * _PALLAS_BLOCK_V
+        and jnp.dtype(dtype) in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float32))
+        and (jax.default_backend() == "tpu" or _INTERPRET)
+    )
+
+
+def _pallas_pad_args(x, wg, bg, labels, dtype):
+    """Shared fwd/bwd padding: rows to block_n (zero rows — zero per-row
+    weights make them inert), vocab to block_v (bias -1e30 — exp == 0)."""
+    from vct_tpu.ops.pallas_loss import _round_up
+
+    n = x.shape[0]
+    block_n = min(_PALLAS_BLOCK_N, _round_up(n, 16))
+    wgp, bgp, v_pad = _pad_vocab(wg, bg, _PALLAS_BLOCK_V)
+    w_dt = wgp.astype(dtype)
+    b_dt = bgp.astype(dtype)[None, :]
+    n_pad = _round_up(n, block_n)
+    x_dt = x.astype(dtype)
+    labels = labels.astype(jnp.int32)
+    if n_pad != n:
+        x_dt = jnp.pad(x_dt, ((0, n_pad - n), (0, 0)))
+        labels = jnp.pad(labels, (0, n_pad - n))
+    return x_dt, w_dt, b_dt, labels[:, None], block_n, n_pad
+
+
+def _pallas_fwd_impl(x, wg, bg, labels, keep_ce, m_rce, dtype, with_rce,
+                     interpret=None):
+    """Same contract as _fwd_impl (z_stack residual slot is always None)."""
+    from vct_tpu.ops import pallas_loss
+
+    interpret = _INTERPRET if interpret is None else interpret
+    n = x.shape[0]
+    v = wg.shape[1]
+    x_p, w_dt, b_dt, lab_p, block_n, n_pad = _pallas_pad_args(
+        x, wg, bg, labels, dtype)
+    m, s, zt = pallas_loss.softmax_stats(
+        x_p, w_dt, b_dt, lab_p, block_n=block_n, block_v=_PALLAS_BLOCK_V,
+        interpret=interpret)
+    m, s, zt = m[:n, 0], s[:n, 0], zt[:n, 0]
+    lse = m + jnp.log(s)
+
+    ce = lse - zt
+    ce_sum = jnp.sum(ce * keep_ce)
+    ce_n = jnp.sum(keep_ce)
+
+    if with_rce:
+        lse_p = jnp.pad(lse, (0, n_pad - n))[:, None]
+        sa, cnt = pallas_loss.clipped_prob_stats(
+            x_p, w_dt, b_dt, lse_p, block_n=block_n,
+            block_v=_PALLAS_BLOCK_V, interpret=interpret)
+        sa, cnt = sa[:n, 0], cnt[:n, 0]
+        s_clip = sa + _EPS * (jnp.float32(v) - cnt)  # pad columns excluded
+        pt = jnp.exp(zt - lse)
+        pt_clip = jnp.maximum(pt, _EPS)
+        rce = -_LOG_OFF * (s_clip - pt_clip)
+        rce_sum = jnp.sum(rce * m_rce)
+        rce_n = jnp.sum(m_rce)
+    else:
+        sa = jnp.zeros((n,), jnp.float32)
+        rce_sum = jnp.zeros(())
+        rce_n = jnp.zeros(())
+
+    out = (ce_sum, ce_n, rce_sum, rce_n)
+    res = (x, wg, bg, labels.astype(jnp.int32), keep_ce, m_rce, lse, zt, sa,
+           None)
+    return out, res
+
+
+def _pallas_bwd_impl(dtype, with_rce, res, cts, interpret=None):
+    """Same coefficient math as _bwd; the per-chunk sweep runs in the Mosaic
+    kernel and dwg collapses to ONE XLA GEMM over the kernel's dtype-rounded
+    dz tiles (the identical rounding the scan applies per chunk)."""
+    from vct_tpu.ops import pallas_loss
+
+    interpret = _INTERPRET if interpret is None else interpret
+    x, wg, bg, labels, keep_ce, m_rce, lse, zt, sa, _ = res
+    g_ce, _, g_rce, _ = cts
+    n, e = x.shape
+    v = wg.shape[1]
+
+    pt = jnp.exp(zt - lse)
+    at = (pt > _EPS).astype(jnp.float32)
+    w_ce = g_ce * keep_ce
+    c = (-_LOG_OFF) * g_rce * m_rce if with_rce else jnp.zeros((n,), jnp.float32)
+    base = c * (at * pt - sa)
+    lab_term = w_ce + c * at * pt
+    u = w_ce + base
+
+    x_p, w_dt, b_dt, lab_p, block_n, n_pad = _pallas_pad_args(
+        x, wg, bg, labels, dtype)
+
+    def row(vec):
+        return jnp.pad(vec.astype(jnp.float32), (0, n_pad - n))[:, None]
+
+    dx, dz, dbg_parts = pallas_loss.sce_backward_tiles(
+        x_p, w_dt, b_dt, row(lse), row(u), row(c), row(lab_term), lab_p,
+        block_n=block_n, block_v=_PALLAS_BLOCK_V, interpret=interpret)
+    dx = dx[:n]
+    dwg = jax.lax.dot_general(
+        x_p, dz, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[:, :v]
+    dbg = jnp.sum(dbg_parts, axis=0)[:v]
+
+    import numpy as np
+
+    return (
+        dx.astype(x.dtype),
+        dwg.astype(wg.dtype),
+        dbg.astype(bg.dtype),
+        np.zeros(labels.shape, jax.dtypes.float0),
+        jnp.zeros_like(keep_ce),
+        jnp.zeros_like(m_rce),
+    )
 
 
 def _stash_on(dtype, stash: bool) -> bool:
@@ -188,12 +334,24 @@ def _fwd_impl(x, wg, bg, labels, keep_ce, m_rce, dtype, block_v, with_rce,
     return out, res
 
 
-def _fwd(x, wg, bg, labels, keep_ce, m_rce, dtype, block_v, with_rce, stash):
+def _fwd(x, wg, bg, labels, keep_ce, m_rce, dtype, block_v, with_rce, stash,
+         use_pallas):
+    if _pallas_ok(use_pallas, x, wg, dtype):
+        return _pallas_fwd_impl(x, wg, bg, labels, keep_ce, m_rce, dtype,
+                                with_rce)
     return _fwd_impl(x, wg, bg, labels, keep_ce, m_rce, dtype, block_v,
                      with_rce, _stash_on(dtype, stash))
 
 
-def _bwd(dtype, block_v, with_rce, stash, res, cts):
+def _bwd(dtype, block_v, with_rce, stash, use_pallas, res, cts):
+    # the fwd/bwd dispatch must agree; re-derive the predicate from the
+    # residuals (same shapes the fwd saw)
+    if _pallas_ok(use_pallas, res[0], res[1], dtype):
+        return _pallas_bwd_impl(dtype, with_rce, res, cts)
+    return _scan_bwd(dtype, block_v, with_rce, stash, res, cts)
+
+
+def _scan_bwd(dtype, block_v, with_rce, stash, res, cts):
     x, wg, bg, labels, keep_ce, m_rce, lse, zt, sa, z_stack = res
     stash = _stash_on(dtype, stash)
     g_ce, _, g_rce, _ = cts  # counts don't depend on differentiable inputs

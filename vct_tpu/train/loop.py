@@ -117,6 +117,12 @@ class Trainer:
             self.log("model-axis > 1: disabling the fused LM-head loss in "
                      "favor of GSPMD vocab-sharded logits")
             tpu_cfg = dataclasses.replace(tpu_cfg, use_fused_loss=False)
+        if self.mesh.size > 1 and tpu_cfg.fused_loss_pallas:
+            # the Mosaic loss kernels are single-device programs; on a mesh
+            # the XLA scans shard freely under GSPMD, so fall back to them
+            self.log("multi-device mesh: fused loss rides the XLA scans "
+                     "(Mosaic loss kernels are single-device programs)")
+            tpu_cfg = dataclasses.replace(tpu_cfg, fused_loss_pallas=False)
         if tpu_cfg.pallas_partition_kernels:
             # every opted-in Trainer resets the registry to ITS mesh (or
             # clears it on a single-device mesh) so a Trainer built after a
