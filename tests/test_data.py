@@ -177,9 +177,11 @@ def test_vatex_dataset(tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def test_missing_stem_in_first_modality_raises(tmp_path):
-    """A stem present in any modality must exist in every modality — losing a
-    file from feat_dirs[0] must raise, not silently drop the video."""
+def test_missing_stem_in_first_modality_warns_and_drops(tmp_path):
+    """A stem missing from some modality dirs is survivable: warn loudly and
+    drop it (round-4 revision of the round-3 hard-fail — a stray extra .npy
+    shouldn't abort dataset construction), keeping symmetry: it drops no
+    matter WHICH dir lost the file, including feat_dirs[0]."""
     rng = np.random.default_rng(3)
     d0, d1 = tmp_path / "m0", tmp_path / "m1"
     d0.mkdir(); d1.mkdir()
@@ -190,7 +192,23 @@ def test_missing_stem_in_first_modality_raises(tmp_path):
         np.save(d1 / f"v{i}.npy", arr)
     ann = tmp_path / "ann.txt"
     ann.write_text("\n".join(f"v{i} a caption" for i in range(3)))
-    with pytest.raises(FileNotFoundError, match="v0"):
+    with pytest.warns(UserWarning, match="v0"):
+        ds = MSVDDataset([str(d0), str(d1)], str(ann))
+    assert len(ds) == 2  # v0 dropped everywhere, not just from dir 0
+    assert "v0" not in ds.video_ids_all
+
+
+def test_disjoint_feature_dirs_raise(tmp_path):
+    """No shared stems at all = the dirs don't describe the same videos;
+    that is a configuration error, not a stray file."""
+    rng = np.random.default_rng(4)
+    d0, d1 = tmp_path / "m0", tmp_path / "m1"
+    d0.mkdir(); d1.mkdir()
+    np.save(d0 / "a.npy", rng.standard_normal((4, 8)).astype(np.float32))
+    np.save(d1 / "b.npy", rng.standard_normal((4, 8)).astype(np.float32))
+    ann = tmp_path / "ann.txt"
+    ann.write_text("a a caption\nb a caption")
+    with pytest.raises(FileNotFoundError, match="NO video stems"):
         MSVDDataset([str(d0), str(d1)], str(ann))
 
 

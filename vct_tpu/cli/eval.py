@@ -69,6 +69,11 @@ def diff_baseline(scores: Dict[str, float], dataset: str, log=print) -> Dict[str
         deltas[name] = ours - pub
         log(f"{name:8s} ours {ours:6.1f}  published {pub:6.1f}  "
             f"delta {ours - pub:+6.1f}")
+    log("note: the METEOR delta includes a scorer-table difference, not just "
+        "model quality — the published number came from the Java METEOR 1.5 "
+        "jar's WordNet synonym stage; this scorer uses a bundled synonym "
+        "table (vct_tpu/evalcap/meteor_data.py). Bleu/ROUGE_L/CIDEr are "
+        "table-free and directly comparable.")
     return deltas
 
 

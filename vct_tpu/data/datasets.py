@@ -49,17 +49,35 @@ def _index_feature_dirs(feat_dirs: Sequence[str]) -> Tuple[List[str], List[Dict[
         if not m:
             raise FileNotFoundError(f"no .npy features under {d}")
         maps.append(m)
-    # symmetric check: a stem present in ANY modality must exist in EVERY
+    # symmetric check: a stem present in ANY modality should exist in EVERY
     # modality (comparing only against maps[0] would silently drop videos
-    # whose file was lost from the first dir)
+    # whose file was lost from the first dir). A stray extra .npy in some
+    # dirs is survivable — warn and drop the stem (round-3 advisor finding:
+    # hard-failing on extras aborted dataset construction the old
+    # intersection code tolerated) — but if the intersection is empty the
+    # dirs don't describe the same videos at all, so fail loudly.
     union = set().union(*maps)
-    for d, m in zip(feat_dirs, maps):
-        missing = union - set(m)
-        if missing:
+    common = set.intersection(*(set(m) for m in maps))
+    dropped = union - common
+    if dropped:
+        if not common:
             raise FileNotFoundError(
-                f"videos missing under {d}: {sorted(missing)[:5]}..."
+                f"feature dirs {list(feat_dirs)} share NO video stems "
+                f"(e.g. {sorted(dropped)[:5]}...)"
             )
-    return sorted(union), maps
+        import warnings
+
+        per_dir = {
+            str(d): sorted(set(m) - common)[:5]
+            for d, m in zip(feat_dirs, maps)
+            if set(m) - common
+        }
+        warnings.warn(
+            f"dropping {len(dropped)} video stem(s) not present in every "
+            f"modality dir (extras by dir: {per_dir})",
+            stacklevel=2,
+        )
+    return sorted(common), maps
 
 
 class CoreDataset(abc.ABC):

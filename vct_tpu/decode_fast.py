@@ -400,7 +400,8 @@ def greedy_generate_fused_sharded(
     over the mesh's batch axis — every shard decodes its B/n rows with the
     unmodified kernels, no collectives, and the per-shard early-exit
     (``jnp.all(done)`` over local rows) can only fire sooner than the global
-    one. Token-exact with the single-device path (`tests/test_parallel.py`).
+    one. Token-exact with the single-device path
+    (``tests/test_pallas_decode.py::test_fused_sharded_token_exact``).
     Weights replicate into the shard_map; batch-sharded operands split over
     ``axis``. Beats: the reference's rank-0-only eval decode
     (``/root/reference/train.py:248-249``).

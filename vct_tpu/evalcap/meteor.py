@@ -35,18 +35,19 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from vct_tpu.evalcap.meteor_data import FUNCTION_WORDS, SYNONYMS
+from vct_tpu.evalcap.meteor_data import (
+    FUNCTION_WORDS,
+    SYNONYMS,
+    SYNONYMS_EXTENDED,
+)
 from vct_tpu.evalcap.stemmer import stem
 
 ALPHA, BETA, GAMMA, DELTA = 0.85, 0.2, 0.6, 0.75
 STAGE_WEIGHTS = (1.0, 0.6, 0.8)  # exact, stem, synonym
 
 
-def _synsets(word: str) -> Optional[set]:
-    return SYNONYMS.get(word)
-
-
-def align(hyp: Sequence[str], ref: Sequence[str]) -> List[Tuple[int, int, int]]:
+def align(hyp: Sequence[str], ref: Sequence[str],
+          synonyms: Optional[dict] = None) -> List[Tuple[int, int, int]]:
     """One-to-one alignment -> [(hyp_idx, ref_idx, stage)].
 
     Stages run in priority order; within a stage, hyp words are scanned
@@ -54,10 +55,11 @@ def align(hyp: Sequence[str], ref: Sequence[str]) -> List[Tuple[int, int, int]]:
     that extends the previous run (prev_ref + 1) if available, else the
     closest to its own position — the chunk-minimizing tie-break.
     """
+    table = SYNONYMS if synonyms is None else synonyms
     hyp_stem = [stem(w) for w in hyp]
     ref_stem = [stem(w) for w in ref]
-    hyp_syn = [_synsets(w) for w in hyp]
-    ref_syn = [_synsets(w) for w in ref]
+    hyp_syn = [table.get(w) for w in hyp]
+    ref_syn = [table.get(w) for w in ref]
 
     ref_used = [False] * len(ref)
     hyp_match: List[Optional[Tuple[int, int]]] = [None] * len(hyp)  # (ref_idx, stage)
@@ -128,11 +130,12 @@ def _weighted_counts(words: Sequence[str], matched: Dict[int, int]) -> Tuple[flo
     return mass, length
 
 
-def score_pair(hyp: Sequence[str], ref: Sequence[str]) -> float:
+def score_pair(hyp: Sequence[str], ref: Sequence[str],
+               synonyms: Optional[dict] = None) -> float:
     """Sentence-level METEOR 1.5 of one hypothesis against one reference."""
     if not hyp or not ref:
         return 0.0
-    pairs = align(hyp, ref)
+    pairs = align(hyp, ref, synonyms)
     if not pairs:
         return 0.0
     hyp_matched = {i: s for i, _, s in pairs}
@@ -152,16 +155,25 @@ def score_pair(hyp: Sequence[str], ref: Sequence[str]) -> float:
 
 
 class Meteor:
+    """``extended_synonyms`` additionally enables the looser same-domain
+    pairs in ``meteor_data._EXTENDED_GROUPS`` (hypernym/register variants).
+    Default OFF: the default table keeps only WordNet-defensible groups so
+    absolute METEOR stays conservative relative to the Java jar's WordNet
+    stage (round-3 advisor finding)."""
+
     note = (
         "METEOR 1.5 formulation (pure Python), absolute scores pinned to the "
         "published Denkowski & Lavie 2014 formulas by hand-derived fixtures "
         "(tests/test_meteor_fixtures.py). The synonym stage uses a bundled "
-        "caption-domain table (~300 groups) standing in for WordNet (not "
+        "caption-domain table (~290 groups) standing in for WordNet (not "
         "downloadable here), so values can differ from the Java jar exactly "
         "where a pair's synonymy is covered by WordNet but not the table "
         "(or vice versa); exact/stem stages and all parameters match the "
         "published model."
     )
+
+    def __init__(self, extended_synonyms: bool = False):
+        self._synonyms = SYNONYMS_EXTENDED if extended_synonyms else SYNONYMS
 
     def method(self) -> str:
         return "METEOR"
@@ -174,6 +186,7 @@ class Meteor:
             hyp = res[img_id][0].split()
             refs = gts[img_id]
             scores.append(
-                max(score_pair(hyp, r.split()) for r in refs) if refs else 0.0
+                max(score_pair(hyp, r.split(), self._synonyms) for r in refs)
+                if refs else 0.0
             )
         return sum(scores) / max(len(scores), 1), scores

@@ -158,7 +158,6 @@ _SYNONYM_GROUPS = [
     ("loud", "noisy"),
     ("wet", "damp", "soaked"),
     ("cold", "chilly", "freezing"),
-    ("hot", "warm"),
     ("young", "youthful"),
     ("old", "elderly", "aged"),
     # --- round-3 expansion: MSVD/MSR-VTT caption vocabulary ---
@@ -195,12 +194,8 @@ _SYNONYM_GROUPS = [
     ("pulling", "dragging", "tugging"),
     ("push", "shove"),
     ("pushing", "shoving"),
-    ("open", "unwrap"),
-    ("opening", "unwrapping"),
     ("draw", "sketch"),
     ("drawing", "sketching"),
-    ("paint", "color"),
-    ("painting", "coloring"),
     ("write", "scribble"),
     ("writing", "scribbling"),
     ("read", "peruse"),
@@ -217,7 +212,6 @@ _SYNONYM_GROUPS = [
     ("sleeping", "napping", "dozing"),
     ("sit", "perch"),
     ("sitting", "perching", "seated"),
-    ("stand", "upright"),
     ("spin", "rotate", "twirl"),
     ("spinning", "rotating", "twirling"),
     ("slide", "glide"),
@@ -227,8 +221,6 @@ _SYNONYM_GROUPS = [
     ("chase", "pursue"),
     ("chasing", "pursuing"),
     ("exercise", "workout"),
-    ("exercising", "training"),
-    ("interview", "questioning"),
     ("applaud", "clap", "cheer"),
     ("applauding", "clapping", "cheering"),
     ("wrestle", "grapple"),
@@ -239,7 +231,6 @@ _SYNONYM_GROUPS = [
     ("ski", "snowboard"),
     # music / performance
     ("song", "tune", "melody"),
-    ("music", "audio"),
     ("band", "orchestra", "ensemble"),
     ("piano", "keyboard"),
     ("drum", "percussion"),
@@ -252,10 +243,8 @@ _SYNONYM_GROUPS = [
     ("match", "game", "contest"),
     ("player", "athlete", "competitor"),
     ("team", "squad"),
-    ("goal", "score"),
     ("basketball", "hoops"),
     ("court", "arena"),
-    ("race", "competition"),
     ("gym", "gymnasium"),
     ("pool", "swimmingpool"),
     # food
@@ -263,14 +252,12 @@ _SYNONYM_GROUPS = [
     ("vegetables", "veggies"),
     ("potato", "spud"),
     ("shrimp", "prawn"),
-    ("meat", "flesh"),
     ("chicken", "poultry"),
     ("bread", "loaf"),
     ("pasta", "noodles", "spaghetti"),
     ("pepper", "capsicum"),
     ("corn", "maize"),
     ("candy", "sweets"),
-    ("dessert", "pudding"),
     ("sauce", "gravy", "dressing"),
     ("dough", "batter"),
     ("oil", "grease"),
@@ -286,7 +273,6 @@ _SYNONYM_GROUPS = [
     ("taxi", "cab"),
     ("helicopter", "chopper"),
     ("garden", "yard"),
-    ("park", "playground"),
     ("beach", "shore", "seaside"),
     ("river", "stream", "creek"),
     ("lake", "pond"),
@@ -296,13 +282,9 @@ _SYNONYM_GROUPS = [
     ("office", "workplace"),
     ("school", "academy"),
     ("restaurant", "diner", "eatery"),
-    ("city", "town"),
     ("path", "trail", "track"),
     ("stairs", "staircase", "steps"),
-    ("wall", "barrier"),
-    ("floor", "ground"),
     ("desert", "wasteland"),
-    ("snow", "powder"),
     # objects / misc
     ("toy", "plaything"),
     ("doll", "figurine"),
@@ -345,17 +327,50 @@ _SYNONYM_GROUPS = [
     ("soldier", "trooper"),
     ("king", "monarch"),
     ("money", "cash"),
-    ("water", "liquid"),
     ("fire", "flame", "blaze"),
     ("wind", "breeze"),
     ("rain", "rainfall"),
-    ("sun", "sunshine"),
     ("night", "nighttime"),
     ("day", "daytime"),
 ]
 
+# Looser, same-domain pairs (hypernym/hyponym or register variants rather
+# than WordNet-synset-defensible synonyms). Kept out of the default table:
+# they inflate METEOR relative to the WordNet-backed Java METEOR 1.5 that
+# produced the published numbers cli/eval.py --baseline diffs against
+# (round-3 advisor finding). Opt in via Meteor(extended_synonyms=True).
+_EXTENDED_GROUPS = [
+    ("paint", "color"),
+    ("painting", "coloring"),
+    ("water", "liquid"),
+    ("goal", "score"),
+    ("music", "audio"),
+    ("open", "unwrap"),
+    ("opening", "unwrapping"),
+    ("stand", "upright"),
+    ("exercising", "training"),
+    ("interview", "questioning"),
+    ("snow", "powder"),
+    ("hot", "warm"),
+    ("floor", "ground"),
+    ("park", "playground"),
+    ("race", "competition"),
+    ("wall", "barrier"),
+    ("dessert", "pudding"),
+    ("city", "town"),
+    ("sun", "sunshine"),
+    ("meat", "flesh"),
+]
+
+
+def _build(groups):
+    table = {}
+    for gid, group in enumerate(groups):
+        for w in group:
+            table.setdefault(w, set()).add(gid)
+    return table
+
+
 # word -> set id(s); a pair matches when the sets intersect
-SYNONYMS = {}
-for _gid, _group in enumerate(_SYNONYM_GROUPS):
-    for _w in _group:
-        SYNONYMS.setdefault(_w, set()).add(_gid)
+SYNONYMS = _build(_SYNONYM_GROUPS)
+SYNONYMS_EXTENDED = _build(_SYNONYM_GROUPS + _EXTENDED_GROUPS)
