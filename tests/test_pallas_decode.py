@@ -603,3 +603,37 @@ def test_fused_greedy_encoder_variants(rng, enc_type, layer):
         block_b=2, block_v=256, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+
+def test_multi_step_l_view_violation_poisons_tokens(rng):
+    """fused_multi_step's l_view contract ((w_idx + 1) * unroll <= l_view)
+    cannot be a Python assert — w_idx is traced — so a violating window must
+    return POISONED tokens (-1) rather than silently-wrong ones, and a
+    satisfying window must not."""
+    from vct_tpu.decode_fast import _prep_decode, _round_up
+    from vct_tpu.ops.pallas_decode import fused_multi_step, group_embed_rows
+
+    model = _model()
+    feats, masks, variables = _init(model, rng)
+    u = 4
+    fw, cks, cvs, mem_bias = _prep_decode(
+        model, variables, feats, masks, max_len=MAX_LEN, block_v=256)
+    e = model.config.embed_dim
+    nl = len(fw["layers"])
+    l_pad = _round_up(MAX_LEN, 8)
+    ks = jnp.zeros((nl, l_pad, B, e), model.dtype)
+    vs = jnp.zeros((nl, l_pad, B, e), model.dtype)
+    pe3 = fw["pe"][:l_pad].reshape(l_pad, 1, e).astype(model.dtype)
+    emb3 = group_embed_rows(fw["emb"].astype(model.dtype))
+    cur = jnp.full((B,), 2, jnp.int32)
+
+    def window(w_idx):
+        toks, _, _ = fused_multi_step(
+            cur, ks, vs, cks, cvs, mem_bias, emb3, pe3, fw,
+            jnp.asarray(w_idx, jnp.int32), heads=fw["heads"], unroll=u,
+            block_b=2, l_view=8, interpret=True,
+        )
+        return np.asarray(toks)
+
+    assert (window(1) >= 0).all()   # (1+1)*4 = 8 <= l_view: real tokens
+    assert (window(2) == -1).all()  # (2+1)*4 = 12 > l_view: poisoned

@@ -240,3 +240,203 @@ def test_tensor_parallel_matches_replicated():
         jax.tree_util.tree_leaves(jax.device_get(state_rep.params)),
     ):
         np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# match / cross tasks under the mesh — the contrastive loss builds a [B, B]
+# similarity matrix from a batch that is SHARDED over 'data', exactly where
+# sharding bugs hide (GSPMD must gather the text/video features for the
+# cross-shard negatives). Reference semantics: /root/reference/train.py:123-143
+# (cross-task loss under DDP), /root/reference/model/loss.py:18-35.
+# ---------------------------------------------------------------------------
+
+TEXT_DIM = 512  # text_encoder_dim("CLIP"): frozen CLIP text features
+N_VALID = 11    # ragged final batch: rows >= N_VALID are collate filler
+
+
+def _task_batch(n_valid=N_VALID):
+    """A collate-shaped batch: rows >= n_valid are copies of row 0 (what
+    data/collate.py emits for the ragged final batch)."""
+    rng = np.random.default_rng(7)
+    feats = rng.standard_normal((B, T, D_FEAT)).astype(np.float32)
+    caps = rng.integers(3, VOCAB, (B, S)).astype(np.int32)
+    caps[:, 0] = 2
+    caps[:, -1] = 1
+    text = rng.standard_normal((B, TEXT_DIM)).astype(np.float32)
+    feats[n_valid:] = feats[0]
+    caps[n_valid:] = caps[0]
+    text[n_valid:] = text[0]
+    return {
+        "feats": [jnp.asarray(feats)],
+        "masks": [jnp.zeros((B, T), bool)],
+        "token_ids": jnp.asarray(caps),
+        "token_mask": jnp.asarray(caps == 0),
+        "text_feat": jnp.asarray(text),
+        "row_valid": jnp.asarray(np.arange(B) < n_valid),
+    }
+
+
+def _sub_batch(batch, n):
+    """The first n rows only — the batch the reference would have scored."""
+    out = {}
+    for k, v in batch.items():
+        if k == "row_valid":
+            continue
+        out[k] = [x[:n] for x in v] if isinstance(v, list) else v[:n]
+    return out
+
+
+def _setup_matching(task, mesh=None):
+    cfg = small_config(matching={"enable_tem": True})
+    model = MMT4Caption(cfg)
+    batch = _task_batch()
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["feats"], batch["masks"],
+        batch["token_ids"], batch["token_mask"], batch["text_feat"],
+        method=MMT4Caption.cross_loss,
+    )
+    tcfg = TrainConfig.from_dict(
+        {"task": task, "optimizer": {"name": "adam", "learning_rate": 1e-3}}
+    )
+    opt = build_optimizer(tcfg, variables["params"])
+    state = make_train_state(variables, opt)
+    step = make_train_step(model, opt, task)
+    if mesh is not None:
+        state = replicate(mesh, state)
+        batch = shard_batch_arrays(mesh, batch)
+    return model, variables, step, state, batch
+
+
+@pytest.mark.parametrize("task", ["match", "cross"])
+def test_matching_task_data_parallel_matches_single_device(task):
+    """Sharded match/cross train steps = single-device, three steps deep."""
+    _, _, step1, state1, batch1 = _setup_matching(task)
+    mesh = make_mesh()
+    _, _, step8, state8, batch8 = _setup_matching(task, mesh)
+    for _ in range(3):
+        state1, m1 = step1(state1, batch1)
+        state8, m8 = step8(state8, batch8)
+        for key in m1:
+            np.testing.assert_allclose(
+                float(m1[key]), float(m8[key]), rtol=2e-5, err_msg=key)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(state1.params)),
+        jax.tree_util.tree_leaves(jax.device_get(state8.params)),
+    ):
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+@pytest.mark.parametrize("task", ["match", "cross"])
+def test_matching_eval_parts_mesh_equals_unpadded_sub_batch(task):
+    """The psum'd sum/count eval parts on the sharded PADDED batch must equal
+    the parts of the unpadded [N_VALID] sub-batch on one device — i.e. the
+    filler rows contribute nothing: not as contrastive anchors, not as
+    negatives, not to the CE sums."""
+    from vct_tpu.train.step import make_eval_step
+
+    model, variables, *_ = _setup_matching(task)
+    eval_step = make_eval_step(model, task)
+
+    sub = _sub_batch(_task_batch(), N_VALID)
+    parts_ref = {k: float(v) for k, v in eval_step(variables, sub).items()}
+
+    mesh = make_mesh()
+    batch8 = shard_batch_arrays(mesh, _task_batch())
+    parts8 = {
+        k: float(v)
+        for k, v in eval_step(replicate(mesh, variables), batch8).items()
+    }
+    assert parts_ref.keys() == parts8.keys()
+    for k in parts_ref:
+        np.testing.assert_allclose(parts8[k], parts_ref[k], rtol=2e-5, err_msg=k)
+
+
+def test_train_step_with_partitioned_pallas_kernels():
+    """A TRAINING step (fwd + custom_vjp bwd) with
+    tpu.pallas_partition_kernels=True on the 8-device mesh — the attention
+    kernels shard_map over 'data' inside the jitted step — matches the plain
+    XLA train step. Forced through the Pallas dispatch in interpret mode
+    (ops.attention.FORCE_PALLAS_INTERPRET); on real chips the same program
+    runs the compiled kernels."""
+    import dataclasses
+
+    from vct_tpu.models.mmt4caption import TPUConfig
+    from vct_tpu.ops import attention as attn_mod
+    from vct_tpu.parallel.mesh import set_kernel_mesh
+
+    mesh = make_mesh()
+    step_ref, state_ref, batch_ref = _setup(mesh)  # XLA attention
+    state_ref, m_ref = step_ref(state_ref, batch_ref)
+
+    cfg = small_config()
+    tpu_cfg = TPUConfig(use_pallas_attention=True, pallas_partition_kernels=True)
+    model = MMT4Caption(cfg, tpu_cfg)
+    rng = np.random.default_rng(0)
+    feats = [rng.standard_normal((B, T, D_FEAT)).astype(np.float32)]
+    masks = [np.zeros((B, T), dtype=bool)]
+    caps = rng.integers(3, VOCAB, (B, S)).astype(np.int32)
+    caps[:, 0] = 2
+    caps[:, -1] = 1
+    batch = {
+        "feats": [jnp.asarray(f) for f in feats],
+        "masks": [jnp.asarray(m) for m in masks],
+        "token_ids": jnp.asarray(caps),
+        "token_mask": jnp.asarray(caps == 0),
+    }
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["feats"], batch["masks"],
+        batch["token_ids"], batch["token_mask"], method=MMT4Caption.caption_loss,
+    )
+    tcfg = TrainConfig.from_dict(
+        {"task": "caption", "optimizer": {"name": "adam", "learning_rate": 1e-3}}
+    )
+    opt = build_optimizer(tcfg, variables["params"])
+    state = replicate(mesh, make_train_state(variables, opt))
+    batch = shard_batch_arrays(mesh, batch)
+    step = make_train_step(model, opt, "caption")
+
+    set_kernel_mesh(mesh)
+    attn_mod.FORCE_PALLAS_INTERPRET = True
+    try:
+        state, m = step(state, batch)
+    finally:
+        attn_mod.FORCE_PALLAS_INTERPRET = False
+        set_kernel_mesh(None)
+
+    # flash-style streaming softmax reorders the fp32 reductions vs XLA
+    np.testing.assert_allclose(float(m["loss"]), float(m_ref["loss"]), rtol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(state.params)),
+        jax.tree_util.tree_leaves(jax.device_get(state_ref.params)),
+    ):
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_tp_mesh_beam_decode_matches_single_device():
+    """Beam search with TENSOR-PARALLEL weights on the (4, 2) mesh (vocab-
+    sharded LM head, Megatron FFN split) decodes the same tokens as the same
+    weights unsharded on one device."""
+    from vct_tpu.decode import make_beam_fn
+    from vct_tpu.parallel.mesh import shard_train_state
+
+    cfg = small_config()
+    model = MMT4Caption(cfg)
+    rng = np.random.default_rng(5)
+    feats = [jnp.asarray(rng.standard_normal((B, T, D_FEAT)).astype(np.float32))]
+    masks = [jnp.zeros((B, T), bool)]
+    caps = jnp.zeros((B, S), jnp.int32)
+    variables = model.init(
+        jax.random.PRNGKey(0), feats, masks, caps, caps == 0,
+        method=MMT4Caption.caption_loss,
+    )
+    beam = make_beam_fn(model, 8, 2, 1, beam_size=3)
+    ref_t, ref_s = beam(variables, feats, masks)
+
+    mesh = make_mesh(4, 2)
+    tok, sc = beam(
+        shard_train_state(mesh, variables),
+        shard_batch_arrays(mesh, feats),
+        shard_batch_arrays(mesh, masks),
+    )
+    np.testing.assert_array_equal(np.asarray(tok), np.asarray(ref_t))
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(ref_s), rtol=2e-5)

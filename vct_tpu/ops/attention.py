@@ -26,6 +26,14 @@ import jax.numpy as jnp
 
 NEG_INF = -1e30
 
+# Test/dryrun escape hatch: force the fused-kernel dispatch on a non-TPU
+# backend with the kernels running in Pallas interpret mode, so the virtual
+# 8-device CPU mesh can exercise the shard_mapped TRAINING path end-to-end
+# (tests/test_parallel.py, __graft_entry__.dryrun_multichip). Never set in
+# production: on TPU the gate below picks the kernel by measured
+# profitability, and interpret mode is orders of magnitude slower.
+FORCE_PALLAS_INTERPRET = False
+
 
 def padding_bias(key_padding_mask: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
     """[B, Tk] bool (True = PAD, the reference convention per
@@ -68,6 +76,10 @@ def _pallas_eligible(q, k, deterministic, return_weights) -> bool:
     # Tq*Tk >= 128*128 so long-sequence configs keep the fused path while
     # the short caption/frame sequences ride XLA's fusions.
     del deterministic
+    if FORCE_PALLAS_INTERPRET:
+        # keep the structural exclusions (weights return, matvec steps) but
+        # drop the profitability/backend gates — the point is coverage
+        return not return_weights and q.shape[1] > 1
     return (
         not return_weights
         and q.shape[1] > 1  # single-token decode steps are matvecs; XLA wins
@@ -112,6 +124,8 @@ def dot_product_attention(
 
             kernel_mesh = get_kernel_mesh()
 
+        interpret = FORCE_PALLAS_INTERPRET
+
         def call(rate, q, k, v, bias, keep):
             # the Pallas backward returns a ZERO bias cotangent (flash-style
             # recompute never materializes d_logits, and every bias in this
@@ -126,9 +140,9 @@ def dot_product_attention(
                 # (set via parallel.mesh.set_kernel_mesh when
                 # tpu.pallas_partition_kernels is enabled)
                 return fused_attention_trainable_sharded(
-                    kernel_mesh, "data", rate, False, q, k, v, bias, keep
+                    kernel_mesh, "data", rate, interpret, q, k, v, bias, keep
                 )
-            return fused_attention_trainable(rate, False, q, k, v, bias, keep)
+            return fused_attention_trainable(rate, interpret, q, k, v, bias, keep)
 
         if deterministic:
             # no-dropout path, still differentiable (rate-0 trainable wrapper:

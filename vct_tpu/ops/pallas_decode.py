@@ -1278,10 +1278,11 @@ def fused_multi_step(
 
     Caller contract on ``l_view``: it must cover every row this window's
     steps touch, i.e. l_view >= (w_idx + 1) * unroll. ``w_idx`` is traced,
-    so this CANNOT be asserted here; greedy_generate_multi guarantees it by
-    staging windows with l_view = round_up(hi_w * u, 8). A too-small window
-    silently drops the in-window fresh-key attention patches (wrong tokens,
-    no error).
+    so this cannot be a Python assert; greedy_generate_multi guarantees it
+    by staging windows with l_view = round_up(hi_w * u, 8). A violating
+    window would drop the in-window fresh-key attention patches, so the
+    returned tokens are POISONED to -1 whenever (w_idx + 1) * u > l_view
+    (cheap traced guard after the kernel) — wrong becomes unmissable.
 
     Designed latency lever: divides the per-token launch+glue overhead by
     ``unroll``. bt <= 32 (the [E, V_pad] generator rides in VMEM like
@@ -1387,4 +1388,12 @@ def fused_multi_step(
         w["w1"], w["b1"], w["w2"], w["b2"], w["n3s"], w["n3b"],
         weights["norm_s"], weights["norm_b"], weights["wg"], weights["bg"],
     )
+    # Contract guard: l_view >= (w_idx + 1) * u can't be a Python assert
+    # (w_idx is traced), and a violating window computes silently-wrong
+    # tokens (the fresh-key attention patches past l_view are dropped).
+    # Poison the whole window with -1 instead — a scalar select, free next
+    # to the kernel — so any violation is unmissable downstream (no real
+    # token id is negative; tests/test_pallas_decode.py pins this).
+    in_view = (jnp.asarray(w_idx, jnp.int32) + 1) * u <= l
+    toks = jnp.where(in_view, toks, jnp.full_like(toks, -1))
     return toks, ks, vs
