@@ -210,3 +210,74 @@ def test_extract_cli(tmp_path, capsys):
     main(["--videos", str(vid_dir), "--out", str(out), "--ext_type", "uni_4",
           "--clip_weights", str(tmp_path / "clip.npz")])
     assert "extracted 0 videos (2 skipped)" in capsys.readouterr().out
+
+
+def test_extract_cli_i3d(tmp_path, capsys):
+    """--feat_type I3D (VERDICT r3 #5): video -> (n_stacks, 1024) .npy via the
+    Flax Kinetics I3D tower (reference predict_video.py:157 declares the I3D
+    arm; the video_features submodule it delegates to is an empty stub)."""
+    from tests.test_i3d import _synthetic_state_dict
+
+    from vct_tpu.cli.extract import main
+
+    vid_dir = tmp_path / "vids"; vid_dir.mkdir()
+    _write_video(vid_dir / "a.avi", n_frames=30)  # < 64 -> looped to 1 stack
+    np.savez(tmp_path / "i3d.npz", **_synthetic_state_dict(np.random.RandomState(0)))
+    out = tmp_path / "feats"
+
+    main(["--videos", str(vid_dir), "--out", str(out), "--feat_type", "I3D",
+          "--i3d_weights", str(tmp_path / "i3d.npz")])
+    a = np.load(out / "a.npy")
+    assert a.shape == (1, 1024)
+    assert np.isfinite(a).all()
+    assert "extracted 1 videos" in capsys.readouterr().out
+
+
+def test_predict_cli_i3d_raw_video(tmp_path):
+    """predict -v --feat_type I3D: I3D tower features -> captioner."""
+    from tests.test_i3d import _synthetic_state_dict
+
+    from vct_tpu.cli.predict import main
+
+    _write_video(tmp_path / "in.avi", n_frames=30)
+    np.savez(tmp_path / "i3d.npz", **_synthetic_state_dict(np.random.RandomState(1)))
+
+    feat_dir = tmp_path / "feats"; feat_dir.mkdir()
+    rng = np.random.default_rng(1)
+    lines = []
+    for i in range(3):
+        np.save(feat_dir / f"vid{i}.npy", rng.standard_normal((2, 1024)).astype(np.float32))
+        lines.append(f"vid{i} a thing moves {i}")
+    (tmp_path / "ann.txt").write_text("\n".join(lines))
+    (tmp_path / "vocab.txt").write_text(
+        "\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+                   "a", "thing", "moves", "0", "1", "2"]))
+    split = {"feat_dir": [str(feat_dir)], "annotation_path": str(tmp_path / "ann.txt"),
+             "dataset": "msvd", "mode": "by_caption", "split_mode": "train",
+             "batch_size": 2}
+    cfg = {
+        "data": {"train": split, "eval": dict(split, mode="by_video",
+                                              split_mode="validate")},
+        "train": {"task": "caption", "optimizer": {"name": "adam", "learning_rate": 1e-3},
+                  "epoch": 1, "save_dir": str(tmp_path / "ckpt"),
+                  "log_dir": str(tmp_path / "log"), "tag": "t"},
+        "test": {"max_length": 8},
+        "model": {"modal": ["I3D"], "modal_shape": [1024], "embed_dim": 32,
+                  "dropout": 0.1, "activation": "gelu",
+                  "video_encoder": {"layer": 1, "nhead": 2, "feedforward": 64,
+                                    "mme": {"temporal": "encoding", "aggregation": "avg"}},
+                  "caption_decoder": {"layer": 1, "nhead": 2, "feedforward": 64}},
+        "tpu": {"max_frames": 5, "max_caption_len": 10, "dtype": "float32",
+                "mesh_data": 1, "vocab_path": str(tmp_path / "vocab.txt")},
+    }
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+
+    from vct_tpu.config import load_config
+    from vct_tpu.train.loop import Trainer
+
+    trainer = Trainer(load_config(str(tmp_path / "config.json")), log=lambda *_: None)
+    ckpt = trainer.save("_e0", 0)
+
+    main(["-c", str(tmp_path / "config.json"), "-m", ckpt,
+          "-v", str(tmp_path / "in.avi"), "--feat_type", "I3D",
+          "--i3d_weights", str(tmp_path / "i3d.npz"), "--greedy"])

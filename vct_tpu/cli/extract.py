@@ -30,9 +30,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="directory of raw videos (or a single video file)")
     p.add_argument("--out", required=True, type=str, help="output .npy directory")
     p.add_argument("--ext_type", type=str, default="uni_12",
-                   help="frame sampling: [type]_[param] (uni_12 fps_2 fix_20 tsn_12)")
-    p.add_argument("--clip_weights", required=True, type=str,
+                   help="frame sampling: [type]_[param] (uni_12 fps_2 fix_20 tsn_12); "
+                        "I3D ignores this and uses 64-frame stacks at stride 64")
+    p.add_argument("--feat_type", type=str, default="CLIP4CLIP-ViT-B-32",
+                   choices=["CLIP", "CLIP4CLIP-ViT-B-32", "I3D"],
+                   help="feature extractor (reference predict_video.py:157); "
+                        "CLIP* -> (T, 512) frame features, I3D -> (n_stacks, 1024)")
+    p.add_argument("--clip_weights", type=str, default=None,
                    help="CLIP ViT-B/32 weights (OpenAI .pt / HF .bin / .npz)")
+    p.add_argument("--i3d_weights", type=str, default=None,
+                   help="Kinetics I3D RGB weights for --feat_type I3D "
+                        "(torch InceptionI3d state dict .pt/.pth or .npz)")
     p.add_argument("--batch_frames", type=int, default=256,
                    help="frames per device batch (videos are packed together)")
     p.add_argument("--overwrite", action="store_true")
@@ -70,24 +78,32 @@ def main(argv=None) -> None:
 
     out_dir = pathlib.Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
-    clip_params = load_clip_params(args.clip_weights)
-    tower = CLIPVisionTower()
-    # one compiled shape (frame batch padded to batch_frames); params stay a
-    # runtime argument so they are not baked into the program as constants
-    jitted = jax.jit(lambda params, px: tower.apply({"params": params}, px))
-    apply = lambda px: jitted(clip_params, px)  # noqa: E731
 
-    def encode_frames(pixels: np.ndarray) -> np.ndarray:
-        n = len(pixels)
-        feats = []
-        for start in range(0, n, args.batch_frames):
-            chunk = pixels[start : start + args.batch_frames]
-            pad = args.batch_frames - len(chunk)
-            if pad:
-                chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:],
-                                                        chunk.dtype)])
-            feats.append(np.asarray(apply(jnp.asarray(chunk)))[: min(args.batch_frames, n - start)])
-        return np.concatenate(feats)
+    if args.feat_type == "I3D":
+        video_feats = _make_i3d_encoder(args)
+    else:
+        clip_params = load_clip_params(args.clip_weights)
+        tower = CLIPVisionTower()
+        # one compiled shape (frame batch padded to batch_frames); params stay
+        # a runtime argument so they are not baked into the program as constants
+        jitted = jax.jit(lambda params, px: tower.apply({"params": params}, px))
+        apply = lambda px: jitted(clip_params, px)  # noqa: E731
+
+        def encode_frames(pixels: np.ndarray) -> np.ndarray:
+            n = len(pixels)
+            feats = []
+            for start in range(0, n, args.batch_frames):
+                chunk = pixels[start : start + args.batch_frames]
+                pad = args.batch_frames - len(chunk)
+                if pad:
+                    chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:],
+                                                            chunk.dtype)])
+                feats.append(np.asarray(apply(jnp.asarray(chunk)))[: min(args.batch_frames, n - start)])
+            return np.concatenate(feats)
+
+        def video_feats(vp: pathlib.Path) -> np.ndarray:
+            frames = sample_frames(str(vp), args.ext_type)
+            return encode_frames(preprocess_frames(frames))
 
     vids = list_videos(args.videos)
     done = skipped = 0
@@ -96,12 +112,46 @@ def main(argv=None) -> None:
         if out_path.exists() and not args.overwrite:
             skipped += 1
             continue
-        frames = sample_frames(str(vp), args.ext_type)
-        feats = encode_frames(preprocess_frames(frames))
+        feats = video_feats(vp)
         np.save(out_path, feats.astype(np.float32))
         done += 1
         print(f"{vp.name}: {feats.shape} -> {out_path}")
     print(f"extracted {done} videos ({skipped} skipped) to {out_dir}")
+
+
+def _make_i3d_encoder(args):
+    """Per-video I3D features: decode ALL frames, 64-frame stacks at stride
+    64 (the video_features I3D recipe the reference delegates to), jitted
+    Flax tower, one (n_stacks, 1024) array per video."""
+    import jax
+    import jax.numpy as jnp
+
+    from vct_tpu.clip import sample_frames
+    from vct_tpu.i3d import (
+        I3DTower,
+        convert_i3d,
+        i3d_stacks,
+        load_i3d_state_dict,
+        preprocess_i3d_frames,
+    )
+
+    if args.i3d_weights is None:
+        raise SystemExit("--feat_type I3D needs --i3d_weights "
+                         "(Kinetics InceptionI3d RGB state dict)")
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_i3d(load_i3d_state_dict(args.i3d_weights)))
+    tower = I3DTower()
+    jitted = jax.jit(lambda p, clips: tower.apply({"params": p}, clips))
+
+    def video_feats(vp) -> np.ndarray:
+        frames = sample_frames(str(vp), "fix_1")  # every frame
+        clips = i3d_stacks(preprocess_i3d_frames(frames))
+        # one clip per launch: stack counts vary per video and padding a
+        # [n, 64, 224, 224, 3] batch would recompile per shape anyway
+        return np.concatenate([np.asarray(jitted(params, clips[i:i + 1]))
+                               for i in range(len(clips))])
+
+    return video_feats
 
 
 if __name__ == "__main__":

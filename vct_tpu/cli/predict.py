@@ -39,12 +39,18 @@ def build_parser() -> argparse.ArgumentParser:
     inp.add_argument("-f", "--features", nargs="+", type=str,
                      help="The paths of input features of a video (.npy, (T, E))")
     p.add_argument("--feat_type", nargs="+", type=str,
-                   choices=["CLIP", "CLIP4CLIP-ViT-B-32"], default=["CLIP4CLIP-ViT-B-32"],
-                   help="feature extractor for -v (CLIP ViT-B/32 image tower)")
+                   choices=["CLIP", "I3D", "CLIP4CLIP-ViT-B-32"],
+                   default=["CLIP4CLIP-ViT-B-32"],
+                   help="feature extractor for -v (reference predict_video.py:157): "
+                        "CLIP* = ViT-B/32 image tower (T, 512); I3D = Kinetics "
+                        "InceptionI3d RGB (n_stacks, 1024)")
     p.add_argument("--ext_type", type=str, default="uni_12",
-                   help="frame sampling: [type]_[param], e.g. uni_12 fps_2 fix_20 tsn_12")
+                   help="frame sampling: [type]_[param], e.g. uni_12 fps_2 fix_20 tsn_12 "
+                        "(I3D ignores this: 64-frame stacks at stride 64)")
     p.add_argument("--clip_weights", type=str, default=None,
                    help="CLIP ViT-B/32 weights for -v (OpenAI .pt / HF .bin / .npz)")
+    p.add_argument("--i3d_weights", type=str, default=None,
+                   help="Kinetics I3D RGB weights for -v with --feat_type I3D")
     gen = p.add_mutually_exclusive_group()
     gen.add_argument("--greedy", action="store_true", help="greedy decode (default)")
     gen.add_argument("--beam", type=int, help="beam search decode")
@@ -85,7 +91,41 @@ def predict(cfg, args, log=print) -> str:
     model, tokenizer, variables = make_trainer_pieces(cfg)
     variables = load_checkpoint_into(variables, args.model, log=log, cfg=cfg)
 
-    if args.video:
+    feats = None
+    if args.video and args.feat_type[0] == "I3D":
+        # I3D arm (reference --feat_type I3D, predict_video.py:157): stacks
+        # are variable-count per video, so features are computed by the jitted
+        # I3D tower first and the caption rides the normal features path.
+        from vct_tpu.i3d import (
+            FEATURE_DIM,
+            I3DTower,
+            convert_i3d,
+            i3d_stacks,
+            load_i3d_state_dict,
+            preprocess_i3d_frames,
+        )
+
+        if args.i3d_weights is None:
+            raise SystemExit("-v with --feat_type I3D needs --i3d_weights")
+        if len(cfg.model.modal) != 1 or cfg.model.modal_shape[0] != FEATURE_DIM:
+            raise SystemExit(
+                f"I3D produces one modality of dim {FEATURE_DIM}; config has "
+                f"modal={cfg.model.modal} modal_shape={cfg.model.modal_shape}"
+            )
+        import jax
+
+        from vct_tpu.clip import sample_frames
+
+        i3d_params = jax.tree_util.tree_map(
+            jnp.asarray, convert_i3d(load_i3d_state_dict(args.i3d_weights)))
+        tower = I3DTower()
+        jitted = jax.jit(lambda p, clips: tower.apply({"params": p}, clips))
+        clips = i3d_stacks(preprocess_i3d_frames(
+            sample_frames(args.video, "fix_1")))
+        stacked = np.concatenate([np.asarray(jitted(i3d_params, clips[i:i + 1]))
+                                  for i in range(len(clips))])
+        feats = [stacked[None].astype(np.float32)]  # [1, n_stacks, 1024]
+    elif args.video:
         # fused pixels->caption: CLIP tower + captioner in ONE jitted program
         import jax
         import jax.numpy as jnp
@@ -116,7 +156,8 @@ def predict(cfg, args, log=print) -> str:
         predict.attn = np.asarray(attn) if (args.vis_attn and attn is not None) else None
         predict.tokens = np.asarray(tokens)[0]
         return caption
-    feats, _ = load_feature_files(args.features)
+    if feats is None:
+        feats, _ = load_feature_files(args.features)
     if len(feats) != len(cfg.model.modal):
         raise SystemExit(f"config expects {len(cfg.model.modal)} modalities, "
                          f"got {len(feats)} feature inputs")
