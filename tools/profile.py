@@ -171,6 +171,45 @@ def train(batches=(64, 256, 512), iters=16):
         del feats, masks, caps, cap_mask, variables, state
 
 
+def loss_ab(batches=(64, 256, 512), iters=16):
+    """A/B the Pallas fused-loss kernels (ops/pallas_loss) against the XLA
+    vocab-chunk scans on the FULL production train step — the VERDICT round-3
+    item #2 measurement (trace showed the scans at ~12.6 ms of a 49.8 ms
+    B=256 step before the shape-aware attention fix)."""
+    import dataclasses
+
+    from vct_tpu.config import TrainConfig
+    from vct_tpu.train.optimizers import build_optimizer
+    from vct_tpu.train.state import make_train_state
+    from vct_tpu.train.step import make_train_step
+
+    for use_pallas in (False, True):
+        model = _flagship(dtype=jnp.bfloat16)
+        model = dataclasses.replace(
+            model, tpu=dataclasses.replace(model.tpu,
+                                           fused_loss_pallas=use_pallas))
+        tag = "pallas" if use_pallas else "scan  "
+        for b in batches:
+            feats, masks, caps, cap_mask, variables = _init(model, b, S)
+            batch = {"feats": feats, "masks": masks, "token_ids": caps,
+                     "token_mask": cap_mask}
+            optimizer = build_optimizer(TrainConfig(), variables["params"])
+            state = make_train_state(
+                jax.tree_util.tree_map(jnp.copy, variables), optimizer)
+            step = make_train_step(model, optimizer, "caption")
+            for _ in range(3):
+                state, m = step(state, batch)
+            loss0 = float(np.asarray(m["loss"]))
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, m = step(state, batch)
+            np.asarray(m["loss"])
+            dt = (time.perf_counter() - t0) / iters
+            print(f"[{tag}] B={b:4d} {dt*1000:8.2f} ms/step "
+                  f"{b/dt:8.0f} samples/s  loss@3={loss0:.5f}", flush=True)
+            del feats, masks, caps, cap_mask, variables, state
+
+
 def trace(out_dir: str):
     """One jax.profiler trace covering a train step (B=256) and a decode
     batch (B=2048) — open in XProf/Perfetto for the op-level roofline."""
@@ -205,7 +244,8 @@ def trace(out_dir: str):
 
 def main():
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    p.add_argument("mode", choices=["decode-sweep", "train", "latency", "trace"])
+    p.add_argument("mode", choices=["decode-sweep", "train", "loss-ab",
+                                    "latency", "trace"])
     p.add_argument("--out", default="/tmp/vct_trace", help="trace output dir")
     p.add_argument("--batches", type=int, nargs="*", default=None)
     args = p.parse_args()
@@ -214,6 +254,8 @@ def main():
         decode_sweep(tuple(args.batches) if args.batches else (1024, 2048, 4096, 8192))
     elif args.mode == "train":
         train(tuple(args.batches) if args.batches else (64, 256, 512))
+    elif args.mode == "loss-ab":
+        loss_ab(tuple(args.batches) if args.batches else (64, 256, 512))
     elif args.mode == "latency":
         latency()
     else:
