@@ -171,7 +171,7 @@ def train(batches=(64, 256, 512), iters=16):
         del feats, masks, caps, cap_mask, variables, state
 
 
-def loss_ab(batches=(64, 256, 512), iters=16):
+def loss_ab(batches=(64, 256, 512), iters=16, arm="both"):
     """A/B the Pallas fused-loss kernels (ops/pallas_loss) against the XLA
     vocab-chunk scans on the FULL production train step — the VERDICT round-3
     item #2 measurement (trace showed the scans at ~12.6 ms of a 49.8 ms
@@ -183,7 +183,8 @@ def loss_ab(batches=(64, 256, 512), iters=16):
     from vct_tpu.train.state import make_train_state
     from vct_tpu.train.step import make_train_step
 
-    for use_pallas in (False, True):
+    arms = {"both": (False, True), "scan": (False,), "pallas": (True,)}[arm]
+    for use_pallas in arms:
         model = _flagship(dtype=jnp.bfloat16)
         model = dataclasses.replace(
             model, tpu=dataclasses.replace(model.tpu,
@@ -208,6 +209,65 @@ def loss_ab(batches=(64, 256, 512), iters=16):
             print(f"[{tag}] B={b:4d} {dt*1000:8.2f} ms/step "
                   f"{b/dt:8.0f} samples/s  loss@3={loss0:.5f}", flush=True)
             del feats, masks, caps, cap_mask, variables, state
+
+
+def latency_decomp(iters=24):
+    """Pin the B=1 per-token budget by kernel-section ablation (round-3
+    VERDICT #6): fused_multi_step's bisect flags ({gen, dma, patch} + the
+    round-4 'layers') subtract one section at a time. end_id=-1 makes the
+    greedy loop run ALL windows regardless of the garbage tokens ablated
+    sections emit, so every case times the identical launch count."""
+    import functools
+
+    from vct_tpu.decode import make_auto_greedy_fn
+    from vct_tpu.decode_fast import greedy_generate_multi
+
+    model = _flagship(dtype=jnp.bfloat16)
+    feats, masks, _, _, variables = _init(model, 1)
+
+    def p50(fn):
+        np.asarray(fn())  # compile + warm
+        lat = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            np.asarray(fn())
+            lat.append(time.perf_counter() - t0)
+        lat.sort()
+        return lat[len(lat) // 2] * 1000.0
+
+    base = make_auto_greedy_fn(model, MAX_LEN, 101, -1)
+    t = {"whole-step": p50(lambda: base(variables, feats, masks)[0])}
+    print(f"whole-step (default B=1 path)   p50 {t['whole-step']:7.2f} ms",
+          flush=True)
+
+    cases = [
+        ("u1", 1, frozenset()),
+        ("u4", 4, frozenset()),
+        ("u1-patch", 1, frozenset({"patch"})),
+        ("u1-gen", 1, frozenset({"gen"})),
+        ("u1-gen-dma", 1, frozenset({"gen", "dma"})),
+        ("u1-gen-dma-layers", 1, frozenset({"gen", "dma", "layers"})),
+    ]
+    for label, u, abl in cases:
+        g = jax.jit(functools.partial(
+            greedy_generate_multi, model, max_len=MAX_LEN, start_id=101,
+            end_id=-1, unroll=u, ablate=abl))
+        t[label] = p50(lambda: g(variables, feats, masks)[0])
+        print(f"multi {label:<22s}      p50 {t[label]:7.2f} ms", flush=True)
+
+    n_tok = MAX_LEN - 1
+    print("\n-- decomposition (u=1, per 29 tokens | per token) --")
+    rows = [
+        ("generator GEMM+argmax", t["u1"] - t["u1-gen"]),
+        ("fresh-KV attention patch", t["u1"] - t["u1-patch"]),
+        ("embedding-row DMA gather", t["u1-gen"] - t["u1-gen-dma"]),
+        ("decoder-stack compute", t["u1-gen-dma"] - t["u1-gen-dma-layers"]),
+        ("launch + weight DMA + glue floor", t["u1-gen-dma-layers"]),
+    ]
+    for name, ms in rows:
+        print(f"{name:<34s} {ms:7.2f} ms | {ms/n_tok*1000:7.0f} us/tok")
+    print(f"{'u=4 launch amortization (u1-u4)':<34s} "
+          f"{t['u1'] - t['u4']:7.2f} ms")
 
 
 def trace(out_dir: str):
@@ -245,9 +305,11 @@ def trace(out_dir: str):
 def main():
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("mode", choices=["decode-sweep", "train", "loss-ab",
-                                    "latency", "trace"])
+                                    "latency", "latency-decomp", "trace"])
     p.add_argument("--out", default="/tmp/vct_trace", help="trace output dir")
     p.add_argument("--batches", type=int, nargs="*", default=None)
+    p.add_argument("--arm", choices=["both", "scan", "pallas"], default="both",
+                   help="loss-ab: which implementation(s) to time")
     args = p.parse_args()
     _warm()
     if args.mode == "decode-sweep":
@@ -255,9 +317,12 @@ def main():
     elif args.mode == "train":
         train(tuple(args.batches) if args.batches else (64, 256, 512))
     elif args.mode == "loss-ab":
-        loss_ab(tuple(args.batches) if args.batches else (64, 256, 512))
+        loss_ab(tuple(args.batches) if args.batches else (64, 256, 512),
+                arm=args.arm)
     elif args.mode == "latency":
         latency()
+    elif args.mode == "latency-decomp":
+        latency_decomp()
     else:
         trace(args.out)
 

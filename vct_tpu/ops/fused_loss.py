@@ -122,10 +122,56 @@ def linear_sce_parts(
     return out
 
 
-# Mosaic kernel tile geometry (ops.pallas_loss). block_v 512 keeps the
-# two-slab z pipeline + weight tiles within VMEM at block_n 1024.
+# Mosaic kernel tile geometry (ops.pallas_loss). block_v is fixed at 512
+# (chunk order — and therefore float-summation order — must not depend on
+# dtype); block_n is chosen per kernel/dtype to fit the kernels' scoped-VMEM
+# ceiling (pallas_loss._VMEM_LIMIT, 64 MiB — the compiler default of 16 MiB
+# OOMed the first real-TPU compile at 17.5 MiB, and shrinking tiles to fit
+# 16 MiB measured ~40% SLOWER than the XLA scans; Mosaic's actual stack runs
+# ~1.3x the raw-buffer estimate below, hence budget*1.3 <= limit).
 _PALLAS_BLOCK_N = 1024
-_PALLAS_BLOCK_V = 512
+_PALLAS_BLOCK_V = 512  # 1024 measured a wash (37.34 vs 37.60 ms at B=256)
+_PALLAS_VMEM_BUDGET = 48_000_000  # raw-buffer bytes; ~budget*1.3 <= 64 MiB
+
+# Row-count ceiling for the kernel dispatch, measured on v5e (round 4,
+# tools/profile.py loss-ab): at N=2048 (B=64, the reference recipe) the
+# kernels beat the scans 11.62 vs 12.40 ms/step (+6.7%); at N=7936 (B=256)
+# they LOSE 37.6 vs 36.1 and at N=15872 78.5 vs 75.5. The loss algorithm
+# needs ~9.4 ms of irreducible MXU GEMM work at B=256 (3 logits passes +
+# dx + dwg) out of the scans' 12.6 ms, so hiding the VPU sweeps can win at
+# most ~2-3 ms — and the kernel path gives ~1.2 ms back materializing the
+# [N, V] dz tiles for its separated dwg GEMM (the scans compute dwg
+# per-chunk with no HBM round trip). Below this N the dz tax shrinks with
+# N while per-chunk serialization overhead doesn't, and the kernel wins.
+_PALLAS_MAX_N = 4096
+
+
+def _pallas_vmem_est(bn: int, e: int, dt: int, bwd: bool) -> int:
+    """Raw VMEM bytes for one grid step (inputs/outputs double-buffered by
+    the pipeline, scratch single): mirrors the BlockSpecs in pallas_loss."""
+    bv = _PALLAS_BLOCK_V
+    est = 2 * bn * e * dt          # x window
+    est += 2 * bn * bv * dt        # zbuf two-slab scratch
+    est += 2 * bv * dt + 64 * bn   # bias + per-row vectors/outs
+    if bwd:
+        est += 4 * e * bv * dt     # w rides in twice (chunk c and c-1)
+        est += 2 * bn * e * 4      # dx_out (fp32)
+        est += 2 * bn * bv * dt    # dz_out tiles
+        est += 2 * 8 * bv * 4      # dbg 8-sublane partials (fp32)
+        est += bn * e * 4          # dxacc scratch
+    else:
+        est += 2 * e * bv * dt     # w window
+    return est
+
+
+def _pallas_block_n(n: int, e: int, dtype, bwd: bool) -> int:
+    from vct_tpu.ops.pallas_loss import _round_up
+
+    dt = jnp.dtype(dtype).itemsize
+    bn = min(_PALLAS_BLOCK_N, _round_up(n, 16))
+    while bn > 16 and _pallas_vmem_est(bn, e, dt, bwd) > _PALLAS_VMEM_BUDGET:
+        bn //= 2
+    return bn
 
 # Test hook: run the Mosaic kernels in interpreter mode on any backend so the
 # full custom_vjp dispatch is exercised on CPU (tests/test_pallas_loss.py).
@@ -134,15 +180,17 @@ _INTERPRET = False
 
 def _pallas_ok(use_pallas: bool, x, wg, dtype) -> bool:
     """Kernel eligibility — mirrors ops.attention._pallas_eligible's stance:
-    the kernel must actually pay. Tiny N (tests, B=1 decode-side losses)
-    and CPU runs ride the XLA scans; meshes are handled by the Trainer,
-    which only sets use_pallas on single-device meshes (Mosaic kernels are
+    the kernel must actually pay. Tiny N (tests, B=1 decode-side losses),
+    big N (the dz-materialization tax outgrows the VPU-overlap win past
+    ~_PALLAS_MAX_N rows — measured, see the constant's comment) and CPU
+    runs ride the XLA scans; meshes are handled by the Trainer, which only
+    sets use_pallas on single-device meshes (Mosaic kernels are
     single-device programs)."""
     if not use_pallas:
         return False
     return (
         x.ndim == 2
-        and x.shape[0] >= 256
+        and 256 <= x.shape[0] <= _PALLAS_MAX_N
         and x.shape[1] % 128 == 0
         and wg.shape[1] >= 2 * _PALLAS_BLOCK_V
         and jnp.dtype(dtype) in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float32))
@@ -150,13 +198,16 @@ def _pallas_ok(use_pallas: bool, x, wg, dtype) -> bool:
     )
 
 
-def _pallas_pad_args(x, wg, bg, labels, dtype):
+def _pallas_pad_args(x, wg, bg, labels, dtype, *, bwd=False):
     """Shared fwd/bwd padding: rows to block_n (zero rows — zero per-row
-    weights make them inert), vocab to block_v (bias -1e30 — exp == 0)."""
+    weights make them inert), vocab to block_v (bias -1e30 — exp == 0).
+    block_n is footprint-fit per kernel shape (``_pallas_block_n``) —
+    per-row results are bit-identical across block_n choices because every
+    reduction is within-row and the vocab chunk order is fixed by block_v."""
     from vct_tpu.ops.pallas_loss import _round_up
 
     n = x.shape[0]
-    block_n = min(_PALLAS_BLOCK_N, _round_up(n, 16))
+    block_n = _pallas_block_n(n, x.shape[1], dtype, bwd)
     wgp, bgp, v_pad = _pad_vocab(wg, bg, _PALLAS_BLOCK_V)
     w_dt = wgp.astype(dtype)
     b_dt = bgp.astype(dtype)[None, :]
@@ -233,7 +284,7 @@ def _pallas_bwd_impl(dtype, with_rce, res, cts, interpret=None):
     u = w_ce + base
 
     x_p, w_dt, b_dt, lab_p, block_n, n_pad = _pallas_pad_args(
-        x, wg, bg, labels, dtype)
+        x, wg, bg, labels, dtype, bwd=True)
 
     def row(vec):
         return jnp.pad(vec.astype(jnp.float32), (0, n_pad - n))[:, None]
@@ -246,7 +297,7 @@ def _pallas_bwd_impl(dtype, with_rce, res, cts, interpret=None):
         x_p, dz, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )[:, :v]
-    dbg = jnp.sum(dbg_parts, axis=0)[:v]
+    dbg = jnp.sum(dbg_parts[::8], axis=0)[:v]  # one row per 8-sublane group
 
     import numpy as np
 

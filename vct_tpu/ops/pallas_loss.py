@@ -59,6 +59,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 _EPS = 1e-7  # must match fused_loss._EPS
 
+# Scoped-VMEM ceiling for these kernels. The compiler's default stack limit
+# is 16 MiB, which the production tile geometry exceeds (first real-TPU
+# compile OOMed at 17.5 MiB); v5e has 128 MiB physical VMEM and the fused
+# decode kernels already run with 110-120 MiB limits. 64 MiB leaves room
+# for big row tiles while keeping half the chip for XLA's own buffers.
+_VMEM_LIMIT = 64 * 1024 * 1024
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -149,6 +156,8 @@ def softmax_stats(
             pltpu.VMEM((block_n, 1), jnp.float32),
             pltpu.VMEM((block_n, 1), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(x, w, b, labels)
 
@@ -231,6 +240,8 @@ def clipped_prob_stats(
             pltpu.VMEM((block_n, 1), jnp.float32),
             pltpu.VMEM((block_n, 1), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(x, w, b, lse)
 
@@ -267,7 +278,12 @@ def _bwd_kernel(dtype, block_v, x_ref, wc_ref, wp_ref, b_ref, lse_ref,
         dz = dz - jnp.where(cols == loc, lt_ref[...], 0.0)
         dz_dt = dz.astype(dtype)
         dz_out[...] = dz_dt
-        dbg_out[...] = jnp.sum(dz, axis=0, keepdims=True)  # fp32, pre-round
+        # fp32, pre-round; duplicated across 8 sublanes — a (1, block_v)
+        # output block is Mosaic-illegal (sublane dim must be 8-divisible
+        # or span the array), so each row tile owns an 8-row group and the
+        # caller reads one row per group
+        dbg_out[...] = jnp.broadcast_to(
+            jnp.sum(dz, axis=0, keepdims=True), (8, dz.shape[1]))
         dxc = jax.lax.dot_general(
             dz_dt, wp_ref[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -301,10 +317,11 @@ def sce_backward_tiles(
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (dx [N_pad, E] fp32, dz [N_pad, V_pad] dtype, dbg_parts
-    [N_pad/block_n, V_pad] fp32). ``dwg = x^T @ dz`` is left to one XLA GEMM
-    (tile-local accumulation of a [E, V] buffer across row tiles would need
-    non-consecutive output revisits, which the Mosaic pipeline forbids);
-    ``dbg = dbg_parts.sum(0)``."""
+    [8 * N_pad/block_n, V_pad] fp32 — each row tile's partial duplicated
+    over an 8-sublane group, Mosaic-legal block shape). ``dwg = x^T @ dz``
+    is left to one XLA GEMM (tile-local accumulation of a [E, V] buffer
+    across row tiles would need non-consecutive output revisits, which the
+    Mosaic pipeline forbids); ``dbg = dbg_parts[::8].sum(0)``."""
     n, e = x.shape
     v = w.shape[1]
     nc = v // block_v
@@ -328,18 +345,20 @@ def sce_backward_tiles(
             pl.BlockSpec((block_n, e), lambda r, c: (r, 0)),
             pl.BlockSpec((block_n, block_v),
                          lambda r, c: (r, jnp.maximum(c - 1, 0))),
-            pl.BlockSpec((1, block_v),
+            pl.BlockSpec((8, block_v),
                          lambda r, c: (r, jnp.maximum(c - 1, 0))),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, e), jnp.float32),
             jax.ShapeDtypeStruct((n, v), x.dtype),
-            jax.ShapeDtypeStruct((n_rows, v), jnp.float32),
+            jax.ShapeDtypeStruct((8 * n_rows, v), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, block_n, block_v), x.dtype),
             pltpu.VMEM((block_n, e), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
         # w rides in twice: the MXU phase consumes chunk c while the dx GEMM
         # consumes chunk c-1, and each view needs its own pipeline slot
