@@ -449,6 +449,28 @@ def test_multi_step_wide_batch(rng):
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
 
 
+@pytest.mark.parametrize("abl", [
+    frozenset({"gen"}),
+    frozenset({"gen", "dma"}),
+    frozenset({"gen", "dma", "layers"}),
+])
+def test_multi_step_ablations_run(rng, abl):
+    """The latency-bisect ablation flags (tools/profile.py latency-decomp)
+    must keep the kernel runnable with the right output shapes — tokens are
+    deliberately garbage, so only structure is asserted."""
+    from vct_tpu.decode_fast import greedy_generate_multi
+
+    model = _model()
+    feats, masks, variables = _init(model, rng)
+    toks, _ = greedy_generate_multi(
+        model, variables, feats, masks, max_len=MAX_LEN, start_id=2,
+        end_id=-1, unroll=4, block_b=2, block_v=256, interpret=True,
+        ablate=abl,
+    )
+    assert toks.shape == (feats[0].shape[0], MAX_LEN)
+    assert toks.dtype == jnp.int32
+
+
 def test_multi_step_dispatch(rng):
     """greedy_generate_fused(multi_step=u) routes through the multi-token
     kernel and stays token-exact (jit boundary included)."""

@@ -255,6 +255,34 @@ def latency_decomp(iters=24):
         t[label] = p50(lambda: g(variables, feats, masks)[0])
         print(f"multi {label:<22s}      p50 {t[label]:7.2f} ms", flush=True)
 
+    # dispatch-vs-device split: the SAME decode twice in ONE dispatch
+    # (different inputs defeat CSE). t2 - t1 = one extra device decode;
+    # 2*t1 - t2 = the per-dispatch relay/host glue.
+    feats2 = [f + 1.0 for f in feats]
+
+    def _one(v, f, m):
+        return greedy_generate_multi(
+            model, v, f, m, max_len=MAX_LEN, start_id=101, end_id=-1,
+            unroll=1)[0]
+
+    g2 = jax.jit(lambda v, fa, fb, m: _one(v, fa, m) + _one(v, fb, m))
+    t["2x-one-dispatch"] = p50(lambda: g2(variables, feats, feats2, masks))
+    print(f"2x decode, ONE dispatch         p50 {t['2x-one-dispatch']:7.2f} ms",
+          flush=True)
+
+    # weight-stream scaling: vocab 30522 -> 2048 cuts the generator operand
+    # 47 MB -> 3 MB; any DMA-bound share of the floor must move with it
+    model_sv = _flagship(vocab_size=2048, dtype=jnp.bfloat16)
+    sfeats, smasks, scaps, scap_mask = _batch(1, T, 8, 512, 2048)
+    svars = model_sv.init(jax.random.PRNGKey(0), sfeats, smasks, scaps,
+                          scap_mask, method=MMT4Caption.caption_loss)
+    gsv = jax.jit(functools.partial(
+        greedy_generate_multi, model_sv, max_len=MAX_LEN, start_id=101,
+        end_id=-1, unroll=1))
+    t["u1-vocab2048"] = p50(lambda: gsv(svars, sfeats, smasks)[0])
+    print(f"multi u1, vocab 2048            p50 {t['u1-vocab2048']:7.2f} ms",
+          flush=True)
+
     n_tok = MAX_LEN - 1
     print("\n-- decomposition (u=1, per 29 tokens | per token) --")
     rows = [
@@ -268,6 +296,13 @@ def latency_decomp(iters=24):
         print(f"{name:<34s} {ms:7.2f} ms | {ms/n_tok*1000:7.0f} us/tok")
     print(f"{'u=4 launch amortization (u1-u4)':<34s} "
           f"{t['u1'] - t['u4']:7.2f} ms")
+    dev = t["2x-one-dispatch"] - t["u1"]
+    print(f"{'device decode (2x minus 1x)':<34s} {dev:7.2f} ms | "
+          f"{dev/n_tok*1000:7.0f} us/tok")
+    print(f"{'per-dispatch relay/host glue':<34s} "
+          f"{2*t['u1'] - t['2x-one-dispatch']:7.2f} ms")
+    print(f"{'generator-weight DMA (dV=44MB)':<34s} "
+          f"{t['u1'] - t['u1-vocab2048']:7.2f} ms")
 
 
 def trace(out_dir: str):

@@ -1203,7 +1203,26 @@ def _multi_step_kernel(
         x = (x + pe_ref[i0 + j].astype(jnp.float32)).astype(dt)
 
         cbias = jnp.where(pos_l <= i0 + j, 0.0, NEG_INF).astype(jnp.float32)
-        for li in range(nl):
+        if "layers" in ablate:
+            # latency bisect: skip the whole decoder stack's COMPUTE while
+            # keeping every weight/cache block's DMA alive with an 8x128
+            # corner read per tensor (const blocks are fetched by the
+            # pipeline either way; the touch guards against any future
+            # unused-ref pruning). Combined with {"gen","dma"} this leaves
+            # launch + operand DMA + trivial VPU as the measured floor.
+            acc = jnp.float32(0.0)
+            for li in range(nl):
+                for wref in (wqkv_ref, wo_ref, wcq_ref, wco_ref,
+                             w1_ref, w2_ref):
+                    acc = acc + jnp.sum(wref[li, :8, :128].astype(jnp.float32))
+                acc = acc + jnp.sum(k_ref[li, 0, :, :128].astype(jnp.float32))
+                acc = acc + jnp.sum(v_ref[li, 0, :, :128].astype(jnp.float32))
+                acc = acc + jnp.sum(ck_ref[li, 0, :, :128].astype(jnp.float32))
+                acc = acc + jnp.sum(cv_ref[li, 0, :, :128].astype(jnp.float32))
+                krow_ref[li, j] = x
+                vrow_ref[li, j] = x
+            x = (x + acc * jnp.float32(1e-30)).astype(dt)
+        for li in range(nl if "layers" not in ablate else 0):
             qkv = _matmul(x, wqkv_ref[li], bqkv_ref[li], jnp.float32)
             q = qkv[:, :e]
             k1 = qkv[:, e:2 * e].astype(dt)
@@ -1288,7 +1307,7 @@ def fused_multi_step(
     ``unroll``. bt <= 32 (the [E, V_pad] generator rides in VMEM like
     fused_whole_step); b > bt tiles the batch over the grid (the ``cur``
     token column is [B, 1] so its block stays Mosaic-legal on multi-program
-    grids). ``ablate`` ({"dma","patch","gen"}) disables kernel sections for
+    grids). ``ablate`` ({"dma","patch","gen","layers"}) disables kernel sections for
     toolchain bisects. unroll=8 overflows the relay-side compiler; measured
     win/loss numbers live in greedy_generate_multi's docstring."""
     nl, l_pad, b, e = k_cache.shape
