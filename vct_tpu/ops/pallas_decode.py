@@ -1222,7 +1222,8 @@ def _multi_step_kernel(
                 krow_ref[li, j] = x
                 vrow_ref[li, j] = x
             x = (x + acc * jnp.float32(1e-30)).astype(dt)
-        for li in range(nl if "layers" not in ablate else 0):
+        layer_range = range(0 if "layers" in ablate else nl)
+        for li in layer_range:
             qkv = _matmul(x, wqkv_ref[li], bqkv_ref[li], jnp.float32)
             q = qkv[:, :e]
             k1 = qkv[:, e:2 * e].astype(dt)
