@@ -19,6 +19,7 @@ rbg dropout + fused LM-head loss in the train step.
 from __future__ import annotations
 
 import argparse
+import functools
 import time
 
 import numpy as np
@@ -305,6 +306,73 @@ def latency_decomp(iters=24):
           f"{t['u1'] - t['u1-vocab2048']:7.2f} ms")
 
 
+def opt_ab(iters=32):
+    """Optimizer-section A/B (round-4: the fixed ~5.7 ms optimizer is 35% of
+    the B=64 reference-recipe step). Times, with production-style donation:
+
+      prod      multi_transform(inject_hyperparams(adam)) — what the step runs
+      bare-adam optax.adam alone — isolates the wrapper tax
+      mu-bf16   adam with mu_dtype=bfloat16 — -2 fp32 passes of 7 on the
+                first moment (numerics change: opt-in candidate only)
+      sgd-floor p - lr*g — the 3-pass pure-bandwidth floor
+
+    Analytic fp32-adam floor for the 77M-param flagship: 7 passes x 4 B =
+    ~2.2 GB -> ~2.6 ms at v5e peak HBM.
+    """
+    import optax
+
+    from vct_tpu.config import TrainConfig
+    from vct_tpu.train.optimizers import build_optimizer
+
+    model = _flagship(dtype=jnp.bfloat16)
+    feats, masks, caps, cap_mask, variables = _init(model, 64, S)
+    params = variables["params"]
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"params: {n_params/1e6:.1f}M "
+          f"(fp32 adam floor ~{n_params*28/819e9*1e3:.2f} ms)", flush=True)
+
+    @jax.jit
+    def fwdbwd(pp):
+        def lf(p2):
+            v = {"params": p2, "buffers": variables["buffers"]}
+            return model.apply(v, feats, masks, caps, cap_mask,
+                               deterministic=True,
+                               method=MMT4Caption.caption_loss)
+        return jax.value_and_grad(lf)(pp)
+
+    _, grads = fwdbwd(params)
+    np.asarray(jax.tree_util.tree_leaves(grads)[0])
+
+    arms = {
+        "prod": build_optimizer(TrainConfig(), params),
+        "bare-adam": optax.adam(1e-4),
+        "mu-bf16": optax.adam(1e-4, mu_dtype=jnp.bfloat16),
+        "sgd-floor": optax.sgd(1e-4),
+    }
+    for name, opt in arms.items():
+        @jax.jit
+        def init_fn(pp, _opt=opt):
+            return _opt.init(pp)
+
+        # donate params+opt_state exactly like the production train step
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def upd(pp, os, g, _opt=opt):
+            updates, os2 = _opt.update(g, os, pp)
+            return optax.apply_updates(pp, updates), os2
+
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        os_ = init_fn(p)
+        p, os_ = upd(p, os_, grads)
+        np.asarray(jax.tree_util.tree_leaves(p)[0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            p, os_ = upd(p, os_, grads)
+        np.asarray(jax.tree_util.tree_leaves(p)[0])
+        dt = (time.perf_counter() - t0) / iters
+        print(f"{name:<10s} {dt*1000:7.2f} ms", flush=True)
+        del p, os_
+
+
 def trace(out_dir: str):
     """One jax.profiler trace covering a train step (B=256) and a decode
     batch (B=2048) — open in XProf/Perfetto for the op-level roofline."""
@@ -340,7 +408,8 @@ def trace(out_dir: str):
 def main():
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("mode", choices=["decode-sweep", "train", "loss-ab",
-                                    "latency", "latency-decomp", "trace"])
+                                    "opt-ab", "latency", "latency-decomp",
+                                    "trace"])
     p.add_argument("--out", default="/tmp/vct_trace", help="trace output dir")
     p.add_argument("--batches", type=int, nargs="*", default=None)
     p.add_argument("--arm", choices=["both", "scan", "pallas"], default="both",
@@ -354,6 +423,8 @@ def main():
     elif args.mode == "loss-ab":
         loss_ab(tuple(args.batches) if args.batches else (64, 256, 512),
                 arm=args.arm)
+    elif args.mode == "opt-ab":
+        opt_ab()
     elif args.mode == "latency":
         latency()
     elif args.mode == "latency-decomp":
