@@ -331,12 +331,21 @@ def beam_bench(model, variables) -> dict:
 
 
 def p50_latency_fields(model, variables) -> dict:
-    """B=1 single-video latency through the whole-step decode kernel
-    (features -> caption tokens), with a device-vs-transport split: the
-    synchronous number pays one relay round trip per call; the pipelined
-    number (next call launched before the previous fetch) hides it, so
-    sync - pipelined ~= transport floor. Round-2 VERDICT weak #3."""
+    """B=1 single-video latency (features -> caption tokens).
+
+    Field semantics follow the round-4 decomposition (docs/PERF.md,
+    tools/profile.py latency-decomp): the ~25 ms per-dispatch relay/host
+    glue on this rig is paid whether or not fetches are pipelined, so
+    ``sync - pipelined`` only bounds the FETCH round trip, not the
+    device/host split (the round-3 field names implied otherwise; they were
+    never driver-captured, so they are renamed rather than kept wrong).
+    The honest device share comes from running the SAME decode TWICE inside
+    ONE dispatch (different inputs defeat CSE): the second decode adds pure
+    device time and zero dispatch glue."""
+    import functools
+
     from vct_tpu.decode import make_auto_greedy_fn, pipelined_map
+    from vct_tpu.decode_fast import greedy_generate_multi
 
     feats, masks, _, _ = _batch(1, T, 8, DFEAT, VOCAB, seed=5)
     fn = make_auto_greedy_fn(model, MAX_LEN, 101, END_ID)
@@ -355,10 +364,35 @@ def p50_latency_fields(model, variables) -> dict:
                            range(iters)):
         pass
     piped = (time.perf_counter() - t0) / iters
+
+    # device-decode estimate: 1x vs 2x decode in one dispatch (end_id=-1 so
+    # both arms run the identical MAX_LEN-1 launch count on garbage tokens;
+    # uses the whole-step multi kernel, within ~5% of the production path
+    # at B=1 — docs/PERF.md)
+    one = functools.partial(greedy_generate_multi, model, max_len=MAX_LEN,
+                            start_id=101, end_id=-1, unroll=1)
+    g1 = jax.jit(lambda v, f, m: one(v, f, m)[0])
+    feats2 = [f + 1.0 for f in feats]
+    g2 = jax.jit(lambda v, fa, fb, m: one(v, fa, m)[0] + one(v, fb, m)[0])
+
+    def _p50(f):
+        np.asarray(f())  # compile + warm
+        lat = []
+        for _ in range(16):
+            t0 = time.perf_counter()
+            np.asarray(f())
+            lat.append(time.perf_counter() - t0)
+        lat.sort()
+        return lat[len(lat) // 2]
+
+    t1 = _p50(lambda: g1(variables, feats, masks))
+    t2 = _p50(lambda: g2(variables, feats, feats2, masks))
     return {
         "p50_latency_ms": round(p50 * 1000, 2),
-        "p50_device_ms_est": round(piped * 1000, 2),
-        "p50_transport_ms_est": round(max(p50 - piped, 0.0) * 1000, 2),
+        "p50_pipelined_ms": round(piped * 1000, 2),
+        "p50_fetch_roundtrip_ms_est": round(max(p50 - piped, 0.0) * 1000, 2),
+        "p50_device_decode_ms_est": round(max(t2 - t1, 0.0) * 1000, 2),
+        "p50_dispatch_glue_ms_est": round(max(2 * t1 - t2, 0.0) * 1000, 2),
     }
 
 

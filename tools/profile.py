@@ -343,34 +343,52 @@ def opt_ab(iters=32):
     _, grads = fwdbwd(params)
     np.asarray(jax.tree_util.tree_leaves(grads)[0])
 
+    from vct_tpu.train.optimizers import _base_optimizer, freeze_labels
+
+    labels = freeze_labels(params, "caption")
     arms = {
         "prod": build_optimizer(TrainConfig(), params),
+        "inject-adam": _base_optimizer(TrainConfig()),
+        "mt-adam": optax.multi_transform(
+            {"train": optax.adam(1e-4), "frozen": optax.set_to_zero()}, labels),
         "bare-adam": optax.adam(1e-4),
         "mu-bf16": optax.adam(1e-4, mu_dtype=jnp.bfloat16),
         "sgd-floor": optax.sgd(1e-4),
     }
+    # Build every arm's jitted update + live state up front, then time them
+    # ROUND-ROBIN: host-load drift on this shared rig is larger than the
+    # arm-to-arm deltas (first two runs measured prod at 6.6 then 4.3 ms),
+    # so sequential per-arm loops alias the drift into the comparison.
+    # Interleaved rounds put every arm under the same load profile; the
+    # median round is the per-arm number.
+    live = {}
     for name, opt in arms.items():
-        @jax.jit
-        def init_fn(pp, _opt=opt):
-            return _opt.init(pp)
-
-        # donate params+opt_state exactly like the production train step
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def upd(pp, os, g, _opt=opt):
             updates, os2 = _opt.update(g, os, pp)
             return optax.apply_updates(pp, updates), os2
 
         p = jax.tree_util.tree_map(jnp.copy, params)
-        os_ = init_fn(p)
-        p, os_ = upd(p, os_, grads)
+        os_ = jax.jit(opt.init)(p)
+        p, os_ = upd(p, os_, grads)  # compile + warm
         np.asarray(jax.tree_util.tree_leaves(p)[0])
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            p, os_ = upd(p, os_, grads)
-        np.asarray(jax.tree_util.tree_leaves(p)[0])
-        dt = (time.perf_counter() - t0) / iters
-        print(f"{name:<10s} {dt*1000:7.2f} ms", flush=True)
-        del p, os_
+        live[name] = [upd, p, os_]
+
+    rounds, inner = max(iters // 4, 3), 4
+    times = {name: [] for name in arms}
+    for _ in range(rounds):
+        for name, slot in live.items():
+            upd, p, os_ = slot
+            t0 = time.perf_counter()
+            for _ in range(inner):
+                p, os_ = upd(p, os_, grads)
+            np.asarray(jax.tree_util.tree_leaves(p)[0])
+            times[name].append((time.perf_counter() - t0) / inner)
+            slot[1], slot[2] = p, os_
+    for name, ts in times.items():
+        ts.sort()
+        print(f"{name:<11s} median {ts[len(ts)//2]*1000:7.2f} ms   "
+              f"min {ts[0]*1000:7.2f}  max {ts[-1]*1000:7.2f}", flush=True)
 
 
 def trace(out_dir: str):
