@@ -645,8 +645,15 @@ def _beam_loop(
             finished = gather(finished, beam_idx)
             lengths = gather(lengths, beam_idx)
             flat = (batch_base + beam_idx).reshape(-1)     # [BK]
-            ks = jnp.take(ks, flat, axis=2)
-            vs = jnp.take(vs, flat, axis=2)
+            # Regather only the first l_view cache rows: within a stage every
+            # row >= l_view is still all-zero for every beam (step i < hi <=
+            # l_view only writes row i), and permuting zeros is the identity —
+            # bit-exact while cutting the beam loop's dominant HBM cost (two
+            # full [NL, L, BK, E] copies per token) by 1 - l_view/L.
+            ks = jax.lax.dynamic_update_slice_in_dim(
+                ks, jnp.take(ks[:, :l_view], flat, axis=2), 0, axis=1)
+            vs = jax.lax.dynamic_update_slice_in_dim(
+                vs, jnp.take(vs[:, :l_view], flat, axis=2), 0, axis=1)
 
             tokens = jax.lax.dynamic_update_slice_in_dim(
                 tokens.reshape(bk, max_len), tok_idx.reshape(bk, 1),
