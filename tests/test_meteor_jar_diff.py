@@ -9,22 +9,32 @@ the bundled corpus's coverage, and the graceful no-JVM exit. The live jar
 leg auto-skips until java + the jar are present.
 """
 
+import importlib.util
 import os
 import shutil
 import sys
 
 import pytest
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir, "tools"))
-
-from meteor_jar_diff import (  # noqa: E402
-    FIXTURE_CORPUS,
-    _py_score,
-    diff_corpus,
-    format_report,
-    load_corpus,
-    main,
+# Load the tool by file path under a unique module name. Never put tools/ on
+# sys.path: tools/profile.py would shadow the stdlib `profile` module, which
+# torch._dynamo reaches via cProfile on the first optimizer construction —
+# that shadowing is exactly what poisoned the round-4 full-suite run (every
+# torch-dependent test red in one process, green in isolation).
+_TOOL_PATH = os.path.join(
+    os.path.dirname(__file__), os.pardir, "tools", "meteor_jar_diff.py"
 )
+_spec = importlib.util.spec_from_file_location("vct_tool_meteor_jar_diff", _TOOL_PATH)
+_mod = importlib.util.module_from_spec(_spec)
+sys.modules[_spec.name] = _mod
+_spec.loader.exec_module(_mod)
+
+FIXTURE_CORPUS = _mod.FIXTURE_CORPUS
+_py_score = _mod._py_score
+diff_corpus = _mod.diff_corpus
+format_report = _mod.format_report
+load_corpus = _mod.load_corpus
+main = _mod.main
 from vct_tpu.evalcap.meteor import Meteor
 
 _METEOR_JAR = os.environ.get("METEOR_JAR", "")

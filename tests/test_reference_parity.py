@@ -33,14 +33,21 @@ pytestmark = pytest.mark.skipif(
     reason="reference checkout not available",
 )
 
+# APPEND, never prepend: /root/reference has stdlib-shadow-prone top-level
+# names (utils.py, eval.py, ...). The `model` package resolves either way
+# (nothing else provides one), and stdlib/site-packages keep priority for
+# every other import in the pytest session.
 if REF_ROOT not in sys.path:
-    sys.path.insert(0, REF_ROOT)
+    sys.path.append(REF_ROOT)
 
 from vct_tpu.config import load_config
 from vct_tpu.convert import convert_state_dict
 from vct_tpu.decode import greedy_generate
 from vct_tpu.models.mmt4caption import MMT4Caption
 from vct_tpu.text.tokenizer import CaptionPreprocessor, WordPieceTokenizer
+from vct_tpu.train.optimizers import build_optimizer
+from vct_tpu.train.state import make_train_state
+from vct_tpu.train.step import make_train_step
 
 B, T, D_FEAT = 3, 6, 512
 CAPTIONS = (
@@ -208,6 +215,148 @@ def test_greedy_captions_match_reference(ref_model, ours, with_padding):
     tok = _tokenizer()
     ours_caps = _our_greedy_strings(model, variables, feats, pad, tok.end_id)
     assert ours_caps == ref_caps
+
+
+# ---------------------------------------------------------------------------
+# Multi-step training-dynamics parity (round-4 VERDICT #2).
+#
+# The single-forward tests above pin the loss surface; this pins the UPDATE
+# RULE — torch.optim.Adam on the actual reference model vs vct_tpu's
+# production train step (optax.adam inside optax.multi_transform with the
+# mode("caption") freeze mask) — over 15 optimizer steps of the published
+# recipe (Adam lr 1e-4, betas (0.9, 0.999), weight_decay 0;
+# /root/reference/train.py:25-31, configs/...msvd_config.json). Identical
+# converted inits, identical batch stream, dropout 0.0 on both sides so the
+# trajectories are deterministic. Covers eps placement, bias correction, and
+# the frozen-parameter interaction in one assertion chain.
+# ---------------------------------------------------------------------------
+
+N_DYN_STEPS = 15
+
+
+@pytest.fixture(scope="module")
+def dyn_pair():
+    import dataclasses
+    import json
+
+    import model.MMT4Caption as ref_mod
+
+    ref_mod.CapPreprocessor = _StubCapPreprocessor
+    ref_mod.TextEncoder = _StubTextEncoder
+    with open(CONFIG_JSON) as f:
+        model_cfg_dict = json.load(f)["model"]
+    model_cfg_dict["dropout"] = 0.0  # deterministic trajectories
+    torch.manual_seed(23)
+    ref = ref_mod.MMT4Caption(model_cfg_dict, device=torch.device("cpu"))
+    ref.train()
+    ref.mode("caption")  # freezes matching.* (MMT4Caption.py:195-199)
+    ref.video_encoder.transformer_encoder.enable_nested_tensor = False
+    ref.video_encoder.transformer_encoder.use_nested_tensor = False
+
+    cfg = load_config(CONFIG_JSON)
+    model_cfg = dataclasses.replace(
+        cfg.model, vocab_size=len(VOCAB), dropout=0.0
+    )
+    tpu_cfg = dataclasses.replace(
+        cfg.tpu, quirk_no_memory_mask_in_decoder=True,
+        quirk_unmasked_aggregation=True, max_caption_len=16,
+    )
+    model = MMT4Caption(model_cfg, tpu_cfg)
+    feats = [jnp.zeros((B, T, D_FEAT))]
+    caps = jnp.zeros((B, 16), jnp.int32)
+    # init through cross_loss so the matching head's params EXIST in the
+    # train state (as they do in every reference checkpoint) even though the
+    # caption task then freezes them — that's the optax.multi_transform
+    # interaction under test
+    variables = model.init(
+        jax.random.PRNGKey(0), feats, None, caps, caps == 0,
+        jnp.zeros((B, 512)), method=MMT4Caption.cross_loss,
+    )
+    # .copy() is load-bearing: .numpy() aliases torch storage, and the CPU
+    # jax backend can alias numpy buffers zero-copy — without the copy, the
+    # torch Adam steps in the test would mutate the converted jax params
+    # in place and fake a trajectory divergence
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+    variables, report = convert_state_dict(variables, sd)
+    assert not report["missing"], report["missing"]
+    return ref, model, variables, cfg
+
+
+def _dyn_batches(n_steps):
+    """Deterministic shared batch stream: fresh features every step, the
+    caption triple rotated so the token stream isn't constant."""
+    rng = np.random.default_rng(31)
+    out = []
+    for s in range(n_steps):
+        feats = rng.standard_normal((B, T, D_FEAT)).astype(np.float32)
+        pad = np.zeros((B, T), dtype=bool)
+        pad[1, -2:] = True
+        feats[1, -2:] = 0.0
+        caps = tuple(CAPTIONS[(s + i) % len(CAPTIONS)] for i in range(B))
+        out.append((feats, pad, caps))
+    return out
+
+
+def test_adam_training_dynamics_match_reference(dyn_pair):
+    ref, model, variables, cfg = dyn_pair
+    batches = _dyn_batches(N_DYN_STEPS)
+    t = cfg.train.optimizer
+    assert t.name == "adam" and tuple(t.beta) == (0.9, 0.999)
+
+    # --- torch side: reference model + torch.optim.Adam over the recipe ----
+    ref_matching_before = {
+        k: v.detach().clone() for k, v in ref.matching.state_dict().items()
+    }
+    opt = torch.optim.Adam(
+        [p for p in ref.parameters() if p.requires_grad],
+        lr=t.learning_rate, betas=tuple(t.beta), weight_decay=t.weight_decay,
+    )
+    ref_traj = []
+    for feats, pad, caps in batches:
+        loss = ref.caption_forward(
+            [torch.tensor(feats)], [torch.tensor(pad)], list(caps)
+        )
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_traj.append(float(loss))
+
+    # --- vct_tpu side: the PRODUCTION step (donated state, freeze mask) ----
+    # snapshot BEFORE training: the step donates its input state, so the
+    # original buffers must not be consulted afterwards
+    matching_before = jax.tree_util.tree_map(
+        lambda a: np.array(a), variables["params"]["matching"]
+    )
+    optimizer = build_optimizer(cfg.train, variables["params"])
+    state = make_train_state(variables, optimizer)
+    step = make_train_step(model, optimizer, "caption")
+    prep = CaptionPreprocessor(_tokenizer(), max_len=16)
+    our_traj = []
+    for feats, pad, caps in batches:
+        ids, mask = prep(caps)
+        batch = {
+            "feats": [jnp.asarray(feats)], "masks": [jnp.asarray(pad)],
+            "token_ids": jnp.asarray(ids), "token_mask": jnp.asarray(mask),
+        }
+        state, metrics = step(state, batch)
+        our_traj.append(float(metrics["loss"]))
+
+    # Updates really happened and both sides moved together, step by step.
+    assert our_traj[0] != our_traj[-1]
+    np.testing.assert_allclose(our_traj, ref_traj, rtol=5e-4, atol=1e-5)
+    # the first-step losses are pre-update: they must match at forward-parity
+    # tightness, pinning that the tolerance above is absorbing accumulated
+    # update drift, not a forward mismatch
+    np.testing.assert_allclose(our_traj[0], ref_traj[0], rtol=2e-5)
+
+    # --- frozen-module interaction: matching.* must not move on EITHER side
+    for k, v in ref.matching.state_dict().items():
+        assert torch.equal(v, ref_matching_before[k]), k
+    frozen_ok = jax.tree_util.tree_map(
+        lambda a, b: bool(np.array_equal(np.asarray(a), b)),
+        state.params["matching"], matching_before,
+    )
+    assert all(jax.tree_util.tree_leaves(frozen_ok)), frozen_ok
 
 
 def test_greedy_early_stop_corner(ref_model, ours):

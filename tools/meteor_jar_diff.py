@@ -35,7 +35,11 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import os
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# Repo root (for `vct_tpu`) — appended, not prepended, so nothing at the repo
+# root can ever shadow stdlib/site-packages for whoever imports this module.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.append(_REPO_ROOT)
 
 from vct_tpu.evalcap.meteor import Meteor, score_pair  # noqa: E402
 
@@ -98,14 +102,30 @@ class JarMeteor:
             stderr=subprocess.DEVNULL, text=True, bufsize=1,
         )
 
+    _RPC_TIMEOUT_S = 60.0
+
     def _rpc(self, line: str) -> str:
         assert self._proc.stdin and self._proc.stdout
         self._proc.stdin.write(line.replace("\n", " ").strip() + "\n")
         self._proc.stdin.flush()
-        out = self._proc.stdout.readline().strip()
-        if not out:
-            raise RuntimeError("meteor jar produced no output (crashed?)")
-        return out
+        # Bounded read: a wedged jar must not stall the harness forever. The
+        # reader thread is daemonic so a timeout leaves nothing dangling after
+        # the kill below.
+        import threading
+
+        box: List[str] = []
+        t = threading.Thread(
+            target=lambda: box.append(self._proc.stdout.readline()), daemon=True
+        )
+        t.start()
+        t.join(self._RPC_TIMEOUT_S)
+        if t.is_alive() or not box or not box[0].strip():
+            self._proc.kill()
+            raise RuntimeError(
+                "meteor jar produced no output within "
+                f"{self._RPC_TIMEOUT_S:.0f}s (crashed or wedged?)"
+            )
+        return box[0].strip()
 
     def score(self, hyp: str, refs: Sequence[str]) -> float:
         """Sentence METEOR, max over references (one SCORE/EVAL per ref so
@@ -120,8 +140,16 @@ class JarMeteor:
 
     def close(self) -> None:
         if self._proc.stdin:
-            self._proc.stdin.close()
-        self._proc.wait(timeout=10)
+            try:
+                self._proc.stdin.close()
+            except OSError:
+                pass
+        try:
+            self._proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            # Jar ignored stdin EOF — don't leave a JVM behind.
+            self._proc.kill()
+            self._proc.wait(timeout=10)
 
 
 def _py_score(hyp: str, refs: Sequence[str],
