@@ -243,7 +243,15 @@ def e2e_eval_bench(variables, greedy) -> dict:
         "e2e_scoring_secs": round(score_secs, 2),
         "e2e_split_gen_secs": round(gen_secs, 2),
         "e2e_transfer_dtype": "float16",
+        # self-describing METEOR resource provenance (round-4 VERDICT #8)
+        "meteor_synonyms": _meteor_provenance(),
     }
+
+
+def _meteor_provenance() -> str:
+    from vct_tpu.evalcap.meteor_data import SYNONYM_PROVENANCE
+
+    return SYNONYM_PROVENANCE
 
 
 def e2e_train_bench(model) -> dict:
@@ -391,6 +399,11 @@ def p50_latency_fields(model, variables) -> dict:
         "p50_latency_ms": round(p50 * 1000, 2),
         "p50_pipelined_ms": round(piped * 1000, 2),
         "p50_fetch_roundtrip_ms_est": round(max(p50 - piped, 0.0) * 1000, 2),
+        # The estimator decomposes ITS OWN single-decode dispatch (the
+        # multi-kernel unroll=1 path): device + glue == p50_estimator_base_ms,
+        # NOT p50_latency_ms (the auto-path headline above) — emitted so the
+        # record is checkable without rereading docs/PERF.md.
+        "p50_estimator_base_ms": round(t1 * 1000, 2),
         "p50_device_decode_ms_est": round(max(t2 - t1, 0.0) * 1000, 2),
         "p50_dispatch_glue_ms_est": round(max(2 * t1 - t2, 0.0) * 1000, 2),
     }
@@ -617,6 +630,24 @@ def main() -> None:
         ref_rates.append(B * iters_ref / (time.perf_counter() - t0))
     ref_cps = max(ref_rates)
 
+    # vs_baseline confound carrier (round-4 VERDICT #6): the reference arm's
+    # per-step cost is dominated by this rig's dispatch+fetch round trip, and
+    # that cost has CHANGED between rounds with zero code change (r02→r04 the
+    # relay got ~3.4x faster, which alone moved vs_baseline 44.6x→21.9x).
+    # Emit the measured round trip so cross-round ratio swings are
+    # attributable from the JSON alone: it times the reference arm's actual
+    # step (prefix-1 decode_word dispatch + host argmax fetch), median of 12.
+    memory0, mem_mask0, _ = encode(variables, feats, masks)
+    ys0 = jnp.full((B, 1), 101, jnp.int32)
+    fetch_ts = []
+    for _ in range(12):
+        t0 = time.perf_counter()
+        np.asarray(jnp.argmax(decode_word(variables, memory0, ys0, mem_mask0), axis=-1))
+        fetch_ts.append(time.perf_counter() - t0)
+    fetch_ts.sort()
+    ref_fetch_ms = fetch_ts[len(fetch_ts) // 2] * 1000
+    del memory0, mem_mask0, ys0
+
     print(
         json.dumps(
             {
@@ -630,10 +661,15 @@ def main() -> None:
                 "decode_mfu": round(decode_mfu, 4),
                 "module_path_captions_per_sec": round(module_cps, 2),
                 "reference_algo_captions_per_sec": round(ref_cps, 2),
+                # per-step dispatch+fetch round trip inside the reference arm
+                # (median of 12): the rig-coupled term that moves vs_baseline
+                # across rounds with no code change — see comment below
+                "reference_algo_fetch_ms": round(ref_fetch_ms, 2),
                 # the baseline is re-measured every run on the same stack, so
                 # framework-wide wins (e.g. round-3's shape-aware attention
                 # dispatch) speed the reference algorithm up too and can
-                # SHRINK vs_baseline while absolute throughput rises
+                # SHRINK vs_baseline while absolute throughput rises;
+                # reference_algo_fetch_ms carries the rig confound
                 "decode_batch_latency_ms": round(seq_secs * 1000, 2),
                 "train_batch": TRAIN_B,
                 "bf16_guard": guard,

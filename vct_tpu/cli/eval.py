@@ -141,8 +141,14 @@ def main(argv=None) -> None:
             json.dump(evaluate.predictions, f, indent=2, ensure_ascii=False)
         print(f"wrote predictions to {args.out}")
     if args.metrics_out:
+        from vct_tpu.evalcap.meteor_data import SYNONYM_PROVENANCE
+
+        record = {k: float(v) for k, v in scores.items()}
+        # self-describing resource provenance: which synonym table produced
+        # the METEOR value (round-4 VERDICT #8; the jar uses WordNet)
+        record["_meteor_synonyms"] = SYNONYM_PROVENANCE
         with open(args.metrics_out, "w") as f:
-            json.dump({k: float(v) for k, v in scores.items()}, f, indent=2)
+            json.dump(record, f, indent=2)
         print(f"wrote metrics to {args.metrics_out}")
 
 

@@ -174,6 +174,14 @@ class Meteor:
 
     def __init__(self, extended_synonyms: bool = False):
         self._synonyms = SYNONYMS_EXTENDED if extended_synonyms else SYNONYMS
+        from .meteor_data import (
+            SYNONYM_PROVENANCE,
+            SYNONYM_PROVENANCE_EXTENDED,
+        )
+
+        self.provenance = (
+            SYNONYM_PROVENANCE_EXTENDED if extended_synonyms else SYNONYM_PROVENANCE
+        )
 
     def method(self) -> str:
         return "METEOR"

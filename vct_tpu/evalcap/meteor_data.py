@@ -374,3 +374,19 @@ def _build(groups):
 # word -> set id(s); a pair matches when the sets intersect
 SYNONYMS = _build(_SYNONYM_GROUPS)
 SYNONYMS_EXTENDED = _build(_SYNONYM_GROUPS + _EXTENDED_GROUPS)
+
+# Machine-readable provenance strings, carried into every emitted metrics
+# record (bench JSON, eval --metrics_out) so downstream readers know WHICH
+# synonym resource produced an absolute METEOR value (round-4 VERDICT #8:
+# the jar uses WordNet; these tables are a conservative stand-in, so
+# absolute METEOR is not comparable to meteor-1.5.jar output).
+SYNONYM_PROVENANCE = (
+    f"bundled-table-v1 ({len(_SYNONYM_GROUPS)} WordNet-defensible "
+    "caption-domain groups; NOT WordNet — absolute METEOR not comparable "
+    "to meteor-1.5.jar)"
+)
+SYNONYM_PROVENANCE_EXTENDED = (
+    f"bundled-table-v1+extended ({len(_SYNONYM_GROUPS)}+"
+    f"{len(_EXTENDED_GROUPS)} groups incl. looser same-domain pairs; NOT "
+    "WordNet — absolute METEOR not comparable to meteor-1.5.jar)"
+)
