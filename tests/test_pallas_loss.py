@@ -148,6 +148,91 @@ class TestDispatch:
             np.testing.assert_allclose(float(a), float(b), rtol=3e-6)
 
 
+class TestShardedKernel:
+    """Round-4 VERDICT #4: the Mosaic loss kernels shard_map over 'data'
+    (``fused_loss.linear_sce_parts_sharded``), so the measured N<=4096/chip
+    win survives on DP meshes instead of silently reverting to the scans.
+    Runs on the conftest-forced 8-device CPU mesh with interpret-mode
+    kernels: per-shard rows (2048/8 = 256) sit exactly at the kernel's
+    eligibility floor, so the Mosaic path genuinely engages per shard."""
+
+    def _mesh(self):
+        from vct_tpu.parallel.mesh import make_mesh
+
+        return make_mesh(data=8, model=1)
+
+    def test_sharded_kernel_matches_scan(self, monkeypatch):
+        monkeypatch.setattr(fl, "_INTERPRET", True)
+        x, wg, bg, labels, keep, m = _data(n=2048, e=128, v=1111, seed=3)
+        mesh = self._mesh()
+        # per-shard eligibility really holds (kernel, not scan, per shard)
+        assert fl._pallas_ok(True, x[:256], wg, jnp.float32)
+
+        def loss(fn):
+            def f(x, wg, bg):
+                c, cn, r, rn = fn(x, wg, bg)
+                return 0.5 * c / jnp.maximum(cn, 1.0) + 0.5 * r / jnp.maximum(rn, 1.0)
+            return f
+
+        def sharded(x, wg, bg):
+            return fl.linear_sce_parts_sharded(
+                mesh, "data", x, wg, bg, labels, keep, m, jnp.float32, 256,
+                True, False, True)
+
+        def scan(x, wg, bg):
+            return fl.linear_sce_parts(
+                x, wg, bg, labels, keep, m, jnp.float32, 256, True, False,
+                False)
+
+        vp, gp = jax.value_and_grad(loss(sharded), argnums=(0, 1, 2))(x, wg, bg)
+        vs, gs = jax.value_and_grad(loss(scan), argnums=(0, 1, 2))(x, wg, bg)
+        np.testing.assert_allclose(float(vp), float(vs), rtol=1e-5)
+        for a, b in zip(gp, gs):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(b).max(), 1e-8)
+            assert np.abs(a - b).max() / scale < 1e-5
+
+    def test_auto_dispatch_routes_through_registry(self, monkeypatch):
+        """linear_sce_parts_auto consults parallel.mesh.set_kernel_mesh the
+        way ops.attention does; the sharded wrapper must actually be taken
+        (spy), and only when the opt-in flag is set."""
+        from vct_tpu.parallel import mesh as pm
+
+        monkeypatch.setattr(fl, "_INTERPRET", True)
+        x, wg, bg, labels, keep, m = _data(n=2048, e=128, v=1111, seed=4)
+        mesh = self._mesh()
+        calls = []
+        real = fl.linear_sce_parts_sharded
+
+        def spy(*a, **k):
+            calls.append(1)
+            return real(*a, **k)
+
+        monkeypatch.setattr(fl, "linear_sce_parts_sharded", spy)
+        pm.set_kernel_mesh(mesh)
+        try:
+            out_auto = fl.linear_sce_parts_auto(
+                x, wg, bg, labels, keep, m, jnp.float32, 256, True, False,
+                use_pallas=True, partition_kernels=True)
+            assert calls, "registry mesh set but sharded path not taken"
+            # without the opt-in flag the plain path runs (no new spy call)
+            n_before = len(calls)
+            out_plain = fl.linear_sce_parts_auto(
+                x, wg, bg, labels, keep, m, jnp.float32, 256, True, False,
+                use_pallas=True, partition_kernels=False)
+            assert len(calls) == n_before
+        finally:
+            pm.set_kernel_mesh(None)
+        for a, b in zip(out_auto, out_plain):
+            np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+
+    def test_indivisible_rows_raise(self):
+        x, wg, bg, labels, keep, m = _data(n=300, e=128, v=1111)
+        with pytest.raises(ValueError, match="not divisible"):
+            fl.linear_sce_parts_sharded(
+                self._mesh(), "data", x, wg, bg, labels, keep, m)
+
+
 class TestVmemGeometry:
     """Round-4 regression: the first real-TPU compile OOMed scoped VMEM
     (17.5 MiB vs the compiler's default 16 MiB stack limit) at a fixed

@@ -306,6 +306,46 @@ def latency_decomp(iters=24):
           f"{t['u1'] - t['u1-vocab2048']:7.2f} ms")
 
 
+def numerics_ab(batches=(64, 256), iters=24):
+    """A/B the torch-parity numerics tax (round-4 VERDICT #5): full train
+    step with the default fp32 softmax-logits + fp32 LayerNorm statistics vs
+    ``tpu.fast_numerics`` (compute-dtype both). Loss printed for each arm so
+    the numeric drift is visible next to the time delta."""
+    from vct_tpu.config import TrainConfig
+    from vct_tpu.train.optimizers import build_optimizer
+    from vct_tpu.train.state import make_train_state
+    from vct_tpu.train.step import make_train_step
+
+    results = {}
+    for fast in (False, True):
+        model = _flagship(dtype=jnp.bfloat16,
+                          tpu_overrides={"fast_numerics": fast})
+        for b in batches:
+            feats, masks, caps, cap_mask, variables = _init(model, b, S)
+            batch = {"feats": feats, "masks": masks, "token_ids": caps,
+                     "token_mask": cap_mask}
+            optimizer = build_optimizer(TrainConfig(), variables["params"])
+            state = make_train_state(
+                jax.tree_util.tree_map(jnp.copy, variables), optimizer)
+            step = make_train_step(model, optimizer, "caption")
+            for _ in range(3):
+                state, m = step(state, batch)
+            np.asarray(m["loss"])
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, m = step(state, batch)
+            loss = float(np.asarray(m["loss"]))
+            dt = (time.perf_counter() - t0) / iters
+            results[(fast, b)] = dt
+            label = "fast_numerics" if fast else "parity (fp32) "
+            print(f"B={b:4d} {label} {dt*1000:8.2f} ms "
+                  f"{b/dt:8.0f} samples/s loss={loss:.4f}", flush=True)
+    for b in batches:
+        base, fast = results[(False, b)], results[(True, b)]
+        print(f"B={b:4d} parity tax: {(base-fast)/base*100:+.1f}% "
+              f"({base*1000:.2f} -> {fast*1000:.2f} ms)", flush=True)
+
+
 def opt_ab(iters=32):
     """Optimizer-section A/B (round-4: the fixed ~5.7 ms optimizer is 35% of
     the B=64 reference-recipe step). Times, with production-style donation:
@@ -426,8 +466,8 @@ def trace(out_dir: str):
 def main():
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("mode", choices=["decode-sweep", "train", "loss-ab",
-                                    "opt-ab", "latency", "latency-decomp",
-                                    "trace"])
+                                    "opt-ab", "numerics-ab", "latency",
+                                    "latency-decomp", "trace"])
     p.add_argument("--out", default="/tmp/vct_trace", help="trace output dir")
     p.add_argument("--batches", type=int, nargs="*", default=None)
     p.add_argument("--arm", choices=["both", "scan", "pallas"], default="both",
@@ -443,6 +483,8 @@ def main():
                 arm=args.arm)
     elif args.mode == "opt-ab":
         opt_ab()
+    elif args.mode == "numerics-ab":
+        numerics_ab(tuple(args.batches) if args.batches else (64, 256))
     elif args.mode == "latency":
         latency()
     elif args.mode == "latency-decomp":

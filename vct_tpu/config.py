@@ -345,6 +345,14 @@ class TPUConfig:
     # Trainer turns this off on multi-device meshes — Mosaic kernels are
     # single-device programs and the scans shard freely under GSPMD.
     fused_loss_pallas: bool = True
+    # Opt-in fast numerics: drop the torch-parity-mandated fp32 softmax
+    # logits and fp32 LayerNorm statistics down to the compute dtype
+    # (bfloat16). Quantifies the "parity tax" on the train step (round-4
+    # VERDICT #5) — default OFF so every parity/decode-exactness guarantee
+    # holds; measured delta recorded in docs/PERF.md. Only affects the XLA
+    # attention path and module LayerNorms; the Pallas kernels keep their
+    # own (fp32-statistics) schedule either way.
+    fast_numerics: bool = False
     # Replicate reference quirks bit-for-bit (see SURVEY.md Appendix A and
     # models/ docstrings) instead of the corrected semantics.
     quirk_unmasked_aggregation: bool = False

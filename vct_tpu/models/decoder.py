@@ -33,7 +33,7 @@ from vct_tpu.models.embeddings import PositionalEmbedding
 from vct_tpu.models.layers import Cache, TransformerDecoder
 from vct_tpu.models.losses import cross_entropy_parts, sce_loss_parts
 from vct_tpu.ops.attention import causal_bias, combine_bias, padding_bias
-from vct_tpu.ops.fused_loss import linear_sce_parts
+from vct_tpu.ops.fused_loss import linear_sce_parts_auto
 
 Dtype = Any
 
@@ -83,6 +83,7 @@ class CapDecoder(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     partition_kernels: bool = False
+    fast_math: bool = False  # tpu.fast_numerics
     # Fused LM-head+loss (ops.fused_loss): applies on loss-only forwards —
     # the [B*S, vocab] logits never exist in HBM. Same values/grads to float
     # summation order (tests/test_fused_loss.py).
@@ -108,6 +109,7 @@ class CapDecoder(nn.Module):
             self.dtype,
             use_pallas=self.use_pallas,
             partition_kernels=self.partition_kernels,
+            fast_math=self.fast_math,
             name="decoder",
         )
         self.generator = LMHead(
@@ -195,7 +197,7 @@ class CapDecoder(nn.Module):
                 vf = valid_flat.astype(jnp.float32)
                 keep_ce = keep_ce * vf
                 m_rce = m_rce * vf
-            parts = linear_sce_parts(
+            parts = linear_sce_parts_auto(
                 outs.reshape(-1, self.embed_dim),
                 self.generator.kernel,
                 self.generator.bias,
@@ -207,6 +209,10 @@ class CapDecoder(nn.Module):
                 self.sce_loss_alpha != 1.0,
                 self.fused_loss_stash,
                 self.fused_loss_pallas,
+                # on a registered multi-device mesh the Mosaic loss kernels
+                # run under shard_map over 'data' (parallel.mesh registry),
+                # same opt-in as the attention kernels
+                self.partition_kernels,
             )
         else:
             logits = self.generator(outs)

@@ -70,6 +70,7 @@ class _MMEBase(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     partition_kernels: bool = False
+    fast_math: bool = False  # tpu.fast_numerics
 
     @property
     def num_modal(self) -> int:
@@ -153,7 +154,8 @@ class MultiModalEncoder(_MMEBase):
             self.activation,
             self.dtype,
             use_pallas=self.use_pallas,
-                partition_kernels=self.partition_kernels,
+            partition_kernels=self.partition_kernels,
+            fast_math=self.fast_math,
             name="transformer_encoder",
         )
 
@@ -193,6 +195,7 @@ class HMMEncoder(_MMEBase):
                 self.dtype,
                 use_pallas=self.use_pallas,
                 partition_kernels=self.partition_kernels,
+                fast_math=self.fast_math,
                 name=f"trans_enc_layers_{i}",
             )
             for i in range(depth)
@@ -246,6 +249,7 @@ class SimpleSepEncoder(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     partition_kernels: bool = False
+    fast_math: bool = False  # tpu.fast_numerics
 
     @property
     def num_modal(self) -> int:
@@ -267,6 +271,7 @@ class SimpleSepEncoder(nn.Module):
                 self.dtype,
                 use_pallas=self.use_pallas,
                 partition_kernels=self.partition_kernels,
+                fast_math=self.fast_math,
                 name=f"transformer_encoders_{i}",
             )
             for i in range(self.num_modal)

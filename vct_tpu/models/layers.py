@@ -56,6 +56,8 @@ class MultiHeadAttention(nn.Module):
     # consult the shard_map kernel-mesh registry (parallel.mesh) when a
     # multi-device mesh is registered; per-model like use_pallas
     partition_kernels: bool = False
+    # tpu.fast_numerics: compute-dtype softmax logits instead of fp32
+    fast_math: bool = False
 
     def setup(self):
         e = self.embed_dim
@@ -113,6 +115,7 @@ class MultiHeadAttention(nn.Module):
             return_weights=return_weights,
             use_pallas=self.use_pallas,
             partition_kernels=self.partition_kernels,
+            fast_math=self.fast_math,
         )
         b, t, _, _ = out.shape
         out = self.out_proj(out.reshape(b, t, self.embed_dim))
@@ -149,18 +152,23 @@ class TransformerEncoderLayer(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     partition_kernels: bool = False
+    fast_math: bool = False  # tpu.fast_numerics: dtype-native LN stats/softmax
 
     def setup(self):
         mk = dict(dtype=self.dtype, param_dtype=jnp.float32)
+        # fp32 LayerNorm statistics are the torch-parity default; fast_math
+        # keeps the reductions in the compute dtype
+        nk = dict(force_float32_reductions=not self.fast_math, **mk)
         self.self_attn = MultiHeadAttention(
             self.embed_dim, self.num_heads, self.dropout_rate, self.dtype,
             use_pallas=self.use_pallas,
-            partition_kernels=self.partition_kernels, name="self_attn"
+            partition_kernels=self.partition_kernels,
+            fast_math=self.fast_math, name="self_attn"
         )
         self.linear1 = nn.Dense(self.dim_feedforward, name="linear1", **mk)
         self.linear2 = nn.Dense(self.embed_dim, name="linear2", **mk)
-        self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1", **mk)
-        self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2", **mk)
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1", **nk)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2", **nk)
         self.dropout = nn.Dropout(self.dropout_rate)
         self.dropout1 = nn.Dropout(self.dropout_rate)
         self.dropout2 = nn.Dropout(self.dropout_rate)
@@ -193,6 +201,7 @@ class TransformerEncoder(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     partition_kernels: bool = False
+    fast_math: bool = False
 
     def setup(self):
         self.layers = [
@@ -205,12 +214,14 @@ class TransformerEncoder(nn.Module):
                 self.dtype,
                 use_pallas=self.use_pallas,
                 partition_kernels=self.partition_kernels,
+                fast_math=self.fast_math,
                 name=f"layers_{i}",
             )
             for i in range(self.num_layers)
         ]
         self.norm = nn.LayerNorm(
-            epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm"
+            epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
+            force_float32_reductions=not self.fast_math, name="norm"
         )
 
     def __call__(
@@ -242,24 +253,28 @@ class TransformerDecoderLayer(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     partition_kernels: bool = False
+    fast_math: bool = False
 
     def setup(self):
         mk = dict(dtype=self.dtype, param_dtype=jnp.float32)
+        nk = dict(force_float32_reductions=not self.fast_math, **mk)
         self.self_attn = MultiHeadAttention(
             self.embed_dim, self.num_heads, self.dropout_rate, self.dtype,
             use_pallas=self.use_pallas,
-            partition_kernels=self.partition_kernels, name="self_attn"
+            partition_kernels=self.partition_kernels,
+            fast_math=self.fast_math, name="self_attn"
         )
         self.multihead_attn = MultiHeadAttention(
             self.embed_dim, self.num_heads, self.dropout_rate, self.dtype,
             use_pallas=self.use_pallas,
-            partition_kernels=self.partition_kernels, name="multihead_attn"
+            partition_kernels=self.partition_kernels,
+            fast_math=self.fast_math, name="multihead_attn"
         )
         self.linear1 = nn.Dense(self.dim_feedforward, name="linear1", **mk)
         self.linear2 = nn.Dense(self.embed_dim, name="linear2", **mk)
-        self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1", **mk)
-        self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2", **mk)
-        self.norm3 = nn.LayerNorm(epsilon=1e-5, name="norm3", **mk)
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1", **nk)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2", **nk)
+        self.norm3 = nn.LayerNorm(epsilon=1e-5, name="norm3", **nk)
         self.dropout = nn.Dropout(self.dropout_rate)
         self.dropout1 = nn.Dropout(self.dropout_rate)
         self.dropout2 = nn.Dropout(self.dropout_rate)
@@ -349,6 +364,7 @@ class TransformerDecoder(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     partition_kernels: bool = False
+    fast_math: bool = False
 
     def setup(self):
         self.layers = [
@@ -361,12 +377,14 @@ class TransformerDecoder(nn.Module):
                 self.dtype,
                 use_pallas=self.use_pallas,
                 partition_kernels=self.partition_kernels,
+                fast_math=self.fast_math,
                 name=f"layers_{i}",
             )
             for i in range(self.num_layers)
         ]
         self.norm = nn.LayerNorm(
-            epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm"
+            epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
+            force_float32_reductions=not self.fast_math, name="norm"
         )
 
     def __call__(

@@ -68,6 +68,7 @@ class MMT4Caption(nn.Module):
             dtype=self.dtype,
             use_pallas=self.tpu.use_pallas_attention,
             partition_kernels=self.tpu.pallas_partition_kernels,
+            fast_math=self.tpu.fast_numerics,
         )
         if ve.type == "simple":
             self.video_encoder = SimpleSepEncoder(
@@ -108,6 +109,7 @@ class MMT4Caption(nn.Module):
             quirk_no_memory_mask=self.tpu.quirk_no_memory_mask_in_decoder,
             use_pallas=self.tpu.use_pallas_attention,
             partition_kernels=self.tpu.pallas_partition_kernels,
+            fast_math=self.tpu.fast_numerics,
             use_fused_loss=self.tpu.use_fused_loss,
             fused_loss_stash=self.tpu.fused_loss_stash,
             fused_loss_pallas=self.tpu.fused_loss_pallas,

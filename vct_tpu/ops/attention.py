@@ -100,6 +100,7 @@ def dot_product_attention(
     return_weights: bool = False,
     use_pallas: bool = False,
     partition_kernels: bool = False,
+    fast_math: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Attention over [B, T, H, D] tensors.
 
@@ -164,13 +165,18 @@ def dot_product_attention(
 
     dtype = q.dtype
     d_head = q.shape[-1]
-    scale = 1.0 / jnp.sqrt(jnp.asarray(d_head, dtype=jnp.float32))
+    # [B, H, Tq, Tk] logits: fp32 for torch parity; fast_math
+    # (tpu.fast_numerics, opt-in) keeps them in the compute dtype — halves
+    # the score-tensor HBM traffic and runs the softmax VPU pass at native
+    # width. bf16 shares fp32's exponent range, so the NEG_INF mask bias and
+    # the softmax max-subtraction stay well-behaved.
+    acc = dtype if (fast_math and dtype != jnp.float32) else jnp.float32
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d_head, dtype=acc))
 
-    # [B, H, Tq, Tk] logits in fp32.
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=acc)
     logits = logits * scale
     if bias is not None:
-        logits = logits + bias.astype(jnp.float32)
+        logits = logits + bias.astype(acc)
 
     weights = jax.nn.softmax(logits, axis=-1)
 

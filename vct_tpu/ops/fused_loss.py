@@ -484,3 +484,79 @@ def _scatter_sub(dz, idx, w):
 
 
 linear_sce_parts.defvjp(_fwd, _bwd)
+
+
+def linear_sce_parts_sharded(
+    mesh, axis, x, wg, bg, labels, keep_ce, m_rce, dtype=jnp.float32,
+    block_v: int = 2048, with_rce: bool = True, stash: bool = False,
+    use_pallas: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``linear_sce_parts`` inside a multi-device jit.
+
+    Mosaic kernels are single-device programs, so (exactly like
+    ``pallas_attention.fused_attention_trainable_sharded``) the whole
+    custom_vjp is wrapped in a ``shard_map`` over the mesh's batch axis: the
+    loss rows are embarrassingly parallel, each shard runs the unmodified
+    fwd/bwd on its N/n row slice, and the four SUM outputs are ``psum``-med —
+    the only collective. Generator params replicate in; shard_map's
+    transpose psums their per-shard cotangents back, which is the same
+    gradient reduction GSPMD inserts for the scan path. Per-shard row counts
+    feed ``_pallas_ok``, so the N<=4096 kernel-win window applies to the
+    PER-DEVICE batch — the B=64/chip recipe (2048 rows/chip) stays on the
+    kernels on any DP mesh instead of silently reverting to the scans
+    (round-4 VERDICT #4).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    n = x.shape[0]
+    if n % n_dev:
+        raise ValueError(f"rows {n} not divisible by mesh axis '{axis}'={n_dev}")
+
+    def inner(x, wg, bg, labels, keep_ce, m_rce):
+        parts = linear_sce_parts(
+            x, wg, bg, labels, keep_ce, m_rce, dtype, block_v, with_rce,
+            stash, use_pallas,
+        )
+        return tuple(jax.lax.psum(p, axis) for p in parts)
+
+    fn = shard_map(
+        inner, mesh=mesh,
+        in_specs=(P(axis, None), P(None, None), P(None), P(axis), P(axis),
+                  P(axis)),
+        out_specs=(P(), P(), P(), P()),
+        check_rep=False,
+    )
+    return fn(x, wg, bg, labels, keep_ce, m_rce)
+
+
+def linear_sce_parts_auto(
+    x, wg, bg, labels, keep_ce, m_rce, dtype=jnp.float32, block_v: int = 2048,
+    with_rce: bool = True, stash: bool = False, use_pallas: bool = False,
+    partition_kernels: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Call-site dispatcher mirroring ``ops.attention``'s stance: when the
+    model opted into ``partition_kernels`` and the Trainer registered a
+    multi-device mesh (``parallel.mesh.set_kernel_mesh``), route through the
+    shard_map wrapper over 'data'; otherwise the plain custom_vjp (GSPMD
+    shards its scans freely when the kernels are off)."""
+    if use_pallas and partition_kernels:
+        from vct_tpu.parallel.mesh import get_kernel_mesh
+
+        mesh = get_kernel_mesh()
+        if (
+            mesh is not None
+            and mesh.size > 1
+            and "data" in mesh.shape
+            and mesh.shape["data"] > 1
+            and x.shape[0] % mesh.shape["data"] == 0
+        ):
+            return linear_sce_parts_sharded(
+                mesh, "data", x, wg, bg, labels, keep_ce, m_rce, dtype,
+                block_v, with_rce, stash, use_pallas,
+            )
+    return linear_sce_parts(
+        x, wg, bg, labels, keep_ce, m_rce, dtype, block_v, with_rce, stash,
+        use_pallas,
+    )

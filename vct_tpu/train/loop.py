@@ -118,11 +118,20 @@ class Trainer:
                      "favor of GSPMD vocab-sharded logits")
             tpu_cfg = dataclasses.replace(tpu_cfg, use_fused_loss=False)
         if self.mesh.size > 1 and tpu_cfg.fused_loss_pallas:
-            # the Mosaic loss kernels are single-device programs; on a mesh
-            # the XLA scans shard freely under GSPMD, so fall back to them
-            self.log("multi-device mesh: fused loss rides the XLA scans "
-                     "(Mosaic loss kernels are single-device programs)")
-            tpu_cfg = dataclasses.replace(tpu_cfg, fused_loss_pallas=False)
+            if tpu_cfg.pallas_partition_kernels:
+                # same opt-in as attention: the kernels run unmodified per
+                # shard under shard_map over 'data', four psum'd sums out
+                # (ops.fused_loss.linear_sce_parts_sharded) — keeps the
+                # measured N<=4096/chip win on DP meshes (round-4 VERDICT #4)
+                self.log("multi-device mesh: Mosaic loss kernels run under "
+                         "shard_map over the 'data' axis")
+            else:
+                # the Mosaic loss kernels are single-device programs; on a
+                # mesh the XLA scans shard freely under GSPMD, so fall back
+                self.log("multi-device mesh: fused loss rides the XLA scans "
+                         "(Mosaic loss kernels are single-device programs; "
+                         "set tpu.pallas_partition_kernels to shard_map them)")
+                tpu_cfg = dataclasses.replace(tpu_cfg, fused_loss_pallas=False)
         if tpu_cfg.pallas_partition_kernels:
             # every opted-in Trainer resets the registry to ITS mesh (or
             # clears it on a single-device mesh) so a Trainer built after a
