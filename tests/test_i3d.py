@@ -18,7 +18,9 @@ from vct_tpu.i3d import (
     FEATURE_DIM,
     I3DTower,
     convert_i3d,
+    estimate_flow,
     i3d_stacks,
+    preprocess_i3d_flow,
     preprocess_i3d_frames,
 )
 from vct_tpu.i3d.model import INCEPTION_CHANNELS, InceptionModule, Unit3D
@@ -149,8 +151,9 @@ _STAGE_OUT = {
 }
 
 
-def _synthetic_state_dict(rng):
-    """Random full-size torch-layout state dict with the TRUE I3D shapes."""
+def _synthetic_state_dict(rng, in_channels=3):
+    """Random full-size torch-layout state dict with the TRUE I3D shapes
+    (``in_channels=2`` builds the FLOW-stream stem)."""
     sd = {}
 
     def unit(prefix, cin, cout, k, bn=True, bias=False):
@@ -163,7 +166,7 @@ def _synthetic_state_dict(rng):
             sd[f"{prefix}.bn.running_mean"] = rng.randn(cout).astype(np.float32) * 0.1
             sd[f"{prefix}.bn.running_var"] = rng.rand(cout).astype(np.float32) + 0.5
 
-    unit("Conv3d_1a_7x7", 3, 64, (7, 7, 7))
+    unit("Conv3d_1a_7x7", in_channels, 64, (7, 7, 7))
     unit("Conv3d_2b_1x1", 64, 64, (1, 1, 1))
     unit("Conv3d_2c_3x3", 64, 192, (3, 3, 3))
     cin = 192
@@ -240,3 +243,55 @@ def test_i3d_stacks_short_video_loops():
     assert s.shape == (1, 64, 2, 2, 3)
     np.testing.assert_array_equal(s[0, :, 0, 0, 0],
                                   np.tile(np.arange(10), 7)[:64])
+
+
+# --------------------------------------------------------------------------
+# flow stream (round-4 VERDICT #7): host-side optical flow -> flow tower.
+# Estimator is Farneback (TV-L1/PWC unavailable in this cv2 build) — a
+# documented substitution (vct_tpu/i3d/flow.py); these tests pin the flow
+# CONTRACT (displacement semantics, truncation/scaling, stack/tower fit),
+# which is estimator-independent.
+# --------------------------------------------------------------------------
+
+
+def test_flow_static_scene_is_zero():
+    frame = np.random.RandomState(0).randint(0, 256, (240, 320, 3), np.uint8)
+    frames = np.stack([frame] * 4)
+    flow = estimate_flow(frames)
+    assert flow.shape == (3, 240, 320, 2)
+    assert np.abs(flow).max() < 0.5  # no motion -> (near-)zero field
+
+
+def test_flow_detects_translation():
+    """Shift a textured image 3 px right: interior flow x ~ +3, y ~ 0."""
+    rng = np.random.RandomState(1)
+    base = rng.randint(0, 256, (200, 200), np.uint8)
+    import cv2
+    base = cv2.GaussianBlur(base, (7, 7), 2.0)  # texture flow can lock onto
+    shifted = np.roll(base, 3, axis=1)
+    frames = np.stack([np.stack([f] * 3, -1) for f in (base, shifted)])
+    flow = estimate_flow(frames)
+    inner = flow[0, 50:150, 50:150]
+    assert abs(np.median(inner[..., 0]) - 3.0) < 1.0, np.median(inner[..., 0])
+    assert abs(np.median(inner[..., 1])) < 1.0
+
+
+def test_flow_preprocess_contract():
+    rng = np.random.RandomState(2)
+    frames = rng.randint(0, 256, (6, 120, 160, 3), np.uint8)
+    fx = preprocess_i3d_flow(frames)
+    assert fx.shape == (5, 224, 224, 2)  # T-1 fields, crop geometry, C=2
+    assert fx.min() >= -1.0 and fx.max() <= 1.0  # +/-20 px truncation /20
+    # stacks accept C=2 and the FLOW tower (2-channel stem) consumes them
+    clips = i3d_stacks(fx, stack=16, step=16)
+    assert clips.shape[-1] == 2
+    sd = _synthetic_state_dict(np.random.RandomState(6), in_channels=2)
+    params = jax.tree.map(jnp.asarray, convert_i3d(sd))
+    feats = I3DTower().apply({"params": params}, jnp.asarray(clips[:1]))
+    assert feats.shape == (1, FEATURE_DIM)
+    assert bool(jnp.all(jnp.isfinite(feats)))
+
+
+def test_flow_needs_two_frames():
+    with pytest.raises(ValueError, match="at least 2"):
+        estimate_flow(np.zeros((1, 64, 64, 3), np.uint8))

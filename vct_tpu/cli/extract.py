@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "CLIP* -> (T, 512) frame features, I3D -> (n_stacks, 1024)")
     p.add_argument("--clip_weights", type=str, default=None,
                    help="CLIP ViT-B/32 weights (OpenAI .pt / HF .bin / .npz)")
+    p.add_argument("--i3d_stream", choices=["rgb", "flow"], default="rgb",
+                   help="I3D stream: rgb (default) or flow (host-side "
+                        "optical flow into the flow tower; estimator note "
+                        "in vct_tpu/i3d/flow.py). Run twice with two --out "
+                        "dirs for a two-modality dataset.")
     p.add_argument("--i3d_weights", type=str, default=None,
                    help="Kinetics I3D RGB weights for --feat_type I3D "
                         "(torch InceptionI3d state dict .pt/.pth or .npz)")
@@ -132,20 +137,24 @@ def _make_i3d_encoder(args):
         convert_i3d,
         i3d_stacks,
         load_i3d_state_dict,
+        preprocess_i3d_flow,
         preprocess_i3d_frames,
     )
 
     if args.i3d_weights is None:
-        raise SystemExit("--feat_type I3D needs --i3d_weights "
-                         "(Kinetics InceptionI3d RGB state dict)")
+        stream = getattr(args, "i3d_stream", "rgb")
+        raise SystemExit(f"--feat_type I3D needs --i3d_weights "
+                         f"(Kinetics InceptionI3d {stream.upper()} state dict)")
     params = jax.tree_util.tree_map(
         jnp.asarray, convert_i3d(load_i3d_state_dict(args.i3d_weights)))
     tower = I3DTower()
     jitted = jax.jit(lambda p, clips: tower.apply({"params": p}, clips))
+    prep = (preprocess_i3d_flow if getattr(args, "i3d_stream", "rgb") == "flow"
+            else preprocess_i3d_frames)
 
     def video_feats(vp) -> np.ndarray:
         frames = sample_frames(str(vp), "fix_1")  # every frame
-        clips = i3d_stacks(preprocess_i3d_frames(frames))
+        clips = i3d_stacks(prep(frames))
         # one clip per launch: stack counts vary per video and padding a
         # [n, 64, 224, 224, 3] batch would recompile per shape anyway
         return np.concatenate([np.asarray(jitted(params, clips[i:i + 1]))

@@ -51,6 +51,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="CLIP ViT-B/32 weights for -v (OpenAI .pt / HF .bin / .npz)")
     p.add_argument("--i3d_weights", type=str, default=None,
                    help="Kinetics I3D RGB weights for -v with --feat_type I3D")
+    p.add_argument("--i3d_stream", choices=["rgb", "flow", "both"],
+                   default="rgb",
+                   help="I3D stream(s): rgb (default), flow (host-side "
+                        "optical flow into the flow tower; estimator note in "
+                        "vct_tpu/i3d/flow.py), or both (two modalities)")
+    p.add_argument("--i3d_flow_weights", type=str, default=None,
+                   help="Kinetics I3D FLOW weights (--i3d_stream flow/both)")
     gen = p.add_mutually_exclusive_group()
     gen.add_argument("--greedy", action="store_true", help="greedy decode (default)")
     gen.add_argument("--beam", type=int, help="beam search decode")
@@ -102,29 +109,43 @@ def predict(cfg, args, log=print) -> str:
             convert_i3d,
             i3d_stacks,
             load_i3d_state_dict,
+            preprocess_i3d_flow,
             preprocess_i3d_frames,
         )
 
-        if args.i3d_weights is None:
+        streams = (["rgb", "flow"] if args.i3d_stream == "both"
+                   else [args.i3d_stream])
+        if "rgb" in streams and args.i3d_weights is None:
             raise SystemExit("-v with --feat_type I3D needs --i3d_weights")
-        if len(cfg.model.modal) != 1 or cfg.model.modal_shape[0] != FEATURE_DIM:
+        if "flow" in streams and args.i3d_flow_weights is None:
+            raise SystemExit(f"--i3d_stream {args.i3d_stream} needs "
+                             "--i3d_flow_weights")
+        if (len(cfg.model.modal) != len(streams)
+                or any(d != FEATURE_DIM for d in cfg.model.modal_shape)):
             raise SystemExit(
-                f"I3D produces one modality of dim {FEATURE_DIM}; config has "
-                f"modal={cfg.model.modal} modal_shape={cfg.model.modal_shape}"
+                f"I3D streams {streams} produce {len(streams)} modalit"
+                f"{'y' if len(streams) == 1 else 'ies'} of dim {FEATURE_DIM}; "
+                f"config has modal={cfg.model.modal} "
+                f"modal_shape={cfg.model.modal_shape}"
             )
         import jax
 
         from vct_tpu.clip import sample_frames
 
-        i3d_params = jax.tree_util.tree_map(
-            jnp.asarray, convert_i3d(load_i3d_state_dict(args.i3d_weights)))
         tower = I3DTower()
         jitted = jax.jit(lambda p, clips: tower.apply({"params": p}, clips))
-        clips = i3d_stacks(preprocess_i3d_frames(
-            sample_frames(args.video, "fix_1")))
-        stacked = np.concatenate([np.asarray(jitted(i3d_params, clips[i:i + 1]))
-                                  for i in range(len(clips))])
-        feats = [stacked[None].astype(np.float32)]  # [1, n_stacks, 1024]
+        frames = sample_frames(args.video, "fix_1")
+        feats = []
+        weights = {"rgb": args.i3d_weights, "flow": args.i3d_flow_weights}
+        prep = {"rgb": preprocess_i3d_frames, "flow": preprocess_i3d_flow}
+        for stream in streams:
+            params = jax.tree_util.tree_map(
+                jnp.asarray, convert_i3d(load_i3d_state_dict(weights[stream])))
+            clips = i3d_stacks(prep[stream](frames))
+            stacked = np.concatenate(
+                [np.asarray(jitted(params, clips[i:i + 1]))
+                 for i in range(len(clips))])
+            feats.append(stacked[None].astype(np.float32))  # [1, n, 1024]
     elif args.video:
         # fused pixels->caption: CLIP tower + captioner in ONE jitted program
         import jax

@@ -168,13 +168,14 @@ class I3DTower(nn.Module):
         return jnp.mean(logits, axis=(1, 2, 3)).astype(jnp.float32)
 
 
-def preprocess_i3d_frames(frames: np.ndarray) -> np.ndarray:
-    """uint8 RGB [T, H, W, 3] -> float32 [T, 224, 224, 3] in [-1, 1]
-    (video_features' I3D transform: resize short side to 256, center-crop
-    224, scale to [-1, 1]). Host-side; cv2 only imported here."""
+def resize_center_crop(frames: np.ndarray) -> np.ndarray:
+    """uint8 [T, H, W, 3] -> uint8 [T, 224, 224, 3]: resize short side to
+    256, center-crop 224 (the I3D geometric transform, shared by the RGB
+    scaling below and the flow arm in ``i3d.flow``). Host-side; cv2 only
+    imported here."""
     import cv2
 
-    out = np.empty((len(frames), IMAGE_SIZE, IMAGE_SIZE, 3), np.float32)
+    out = np.empty((len(frames), IMAGE_SIZE, IMAGE_SIZE, 3), np.uint8)
     for i, f in enumerate(frames):
         h, w = f.shape[:2]
         s = 256.0 / min(h, w)
@@ -182,7 +183,14 @@ def preprocess_i3d_frames(frames: np.ndarray) -> np.ndarray:
         r = cv2.resize(f, (nw, nh), interpolation=cv2.INTER_LINEAR)
         top, left = (nh - IMAGE_SIZE) // 2, (nw - IMAGE_SIZE) // 2
         out[i] = r[top:top + IMAGE_SIZE, left:left + IMAGE_SIZE]
-    return out / 127.5 - 1.0
+    return out
+
+
+def preprocess_i3d_frames(frames: np.ndarray) -> np.ndarray:
+    """uint8 RGB [T, H, W, 3] -> float32 [T, 224, 224, 3] in [-1, 1]
+    (video_features' I3D transform: resize short side to 256, center-crop
+    224, scale to [-1, 1])."""
+    return resize_center_crop(frames).astype(np.float32) / 127.5 - 1.0
 
 
 def i3d_stacks(frames: np.ndarray, stack: int = STACK_SIZE,
