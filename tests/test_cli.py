@@ -239,4 +239,9 @@ def test_eval_cli_metrics_out(workspace, tmp_path):
           "--metrics_out", str(mpath)])
     metrics = json.loads(mpath.read_text())
     assert set(metrics) >= {"Bleu_4", "METEOR", "ROUGE_L", "CIDEr"}
-    assert all(isinstance(v, float) for v in metrics.values())
+    # numeric scores are floats; underscore-prefixed keys are self-describing
+    # provenance strings (round-4 VERDICT #8: which synonym table produced
+    # the METEOR value)
+    assert all(isinstance(v, float) for k, v in metrics.items()
+               if not k.startswith("_"))
+    assert "NOT WordNet" in metrics["_meteor_synonyms"]
