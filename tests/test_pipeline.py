@@ -233,6 +233,28 @@ def test_extract_cli_i3d(tmp_path, capsys):
     assert "extracted 1 videos" in capsys.readouterr().out
 
 
+def test_extract_cli_i3d_flow(tmp_path, capsys):
+    """--feat_type I3D --i3d_stream flow (round-4 VERDICT #7): video ->
+    host-side optical flow -> 2-channel-stem flow tower -> (n_stacks, 1024)."""
+    from tests.test_i3d import _synthetic_state_dict
+
+    from vct_tpu.cli.extract import main
+
+    vid_dir = tmp_path / "vids"; vid_dir.mkdir()
+    _write_video(vid_dir / "a.avi", n_frames=20)  # 19 flow fields -> 1 stack
+    np.savez(tmp_path / "i3d_flow.npz",
+             **_synthetic_state_dict(np.random.RandomState(1), in_channels=2))
+    out = tmp_path / "feats"
+
+    main(["--videos", str(vid_dir), "--out", str(out), "--feat_type", "I3D",
+          "--i3d_stream", "flow",
+          "--i3d_weights", str(tmp_path / "i3d_flow.npz")])
+    a = np.load(out / "a.npy")
+    assert a.shape == (1, 1024)
+    assert np.isfinite(a).all()
+    assert "extracted 1 videos" in capsys.readouterr().out
+
+
 def test_predict_cli_i3d_raw_video(tmp_path):
     """predict -v --feat_type I3D: I3D tower features -> captioner."""
     from tests.test_i3d import _synthetic_state_dict
