@@ -359,6 +359,117 @@ def test_adam_training_dynamics_match_reference(dyn_pair):
     assert all(jax.tree_util.tree_leaves(frozen_ok)), frozen_ok
 
 
+def _text_feats(captions):
+    """Deterministic stand-in for the frozen CLIP text encoder: one fixed
+    512-d vector per caption string (crc32-seeded; hash() is process-salted
+    for str). Both sides consume the SAME features, so the text tower —
+    frozen and checkpoint-external in the reference (TextEncoder.py:7,
+    outputs .detach()ed) — drops out of the parity question by construction."""
+    import zlib
+
+    return np.stack([
+        np.random.default_rng(zlib.crc32(c.encode())).standard_normal(512)
+        for c in captions
+    ]).astype(np.float32)
+
+
+class _DynTextEncoder:
+    def __init__(self, text_enc_type, device=None):
+        self.dim = 512
+
+    def __call__(self, captions):
+        return torch.tensor(_text_feats(captions))
+
+
+def test_cross_task_dynamics_match_reference():
+    """Cross-task trajectory parity (beta*cap + (1-beta)*match,
+    ``MMT4Caption.py:132-144``): 10 Adam steps through the CSL contrastive
+    loss with a LEARNED temperature (enable_tem, ``loss.py:13-16`` — the
+    shipped config's tem=None arm is the reference's quirk #3 crash, so the
+    trainable arm is the one that can train at all). Covers the matching
+    head's v_proj + temperature updates and the CSL backward, none of which
+    the caption-task dynamics test touches."""
+    import dataclasses
+    import json
+
+    import model.MMT4Caption as ref_mod
+
+    ref_mod.CapPreprocessor = _StubCapPreprocessor
+    ref_mod.TextEncoder = _DynTextEncoder
+    with open(CONFIG_JSON) as f:
+        model_cfg_dict = json.load(f)["model"]
+    model_cfg_dict["dropout"] = 0.0
+    model_cfg_dict["matching"]["enable_tem"] = True
+    torch.manual_seed(29)
+    ref = ref_mod.MMT4Caption(model_cfg_dict, device=torch.device("cpu"))
+    ref.train()
+    ref.mode("cross")  # trains decoder AND matching (MMT4Caption.py:203-209)
+    ref.video_encoder.transformer_encoder.enable_nested_tensor = False
+    ref.video_encoder.transformer_encoder.use_nested_tensor = False
+
+    cfg = load_config(CONFIG_JSON)
+    model_cfg = dataclasses.replace(
+        cfg.model, vocab_size=len(VOCAB), dropout=0.0,
+        matching=dataclasses.replace(cfg.model.matching, enable_tem=True),
+    )
+    tpu_cfg = dataclasses.replace(
+        cfg.tpu, quirk_no_memory_mask_in_decoder=True,
+        quirk_unmasked_aggregation=True, max_caption_len=16,
+    )
+    model = MMT4Caption(model_cfg, tpu_cfg)
+    feats0 = [jnp.zeros((B, T, D_FEAT))]
+    caps0 = jnp.zeros((B, 16), jnp.int32)
+    variables = model.init(
+        jax.random.PRNGKey(0), feats0, None, caps0, caps0 == 0,
+        jnp.zeros((B, 512)), method=MMT4Caption.cross_loss,
+    )
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+    variables, report = convert_state_dict(variables, sd)
+    assert not report["missing"], report["missing"]
+
+    batches = _dyn_batches(10)
+    tcfg = dataclasses.replace(cfg.train, task="cross")
+    t = tcfg.optimizer
+
+    opt = torch.optim.Adam(
+        [p for p in ref.parameters() if p.requires_grad],
+        lr=t.learning_rate, betas=tuple(t.beta), weight_decay=t.weight_decay,
+    )
+    ref_traj = []
+    for feats, pad, caps in batches:
+        loss, cap_l, match_l = ref.cross_forward(
+            [torch.tensor(feats)], [torch.tensor(pad)], list(caps)
+        )
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_traj.append((float(loss), float(cap_l), float(match_l)))
+
+    optimizer = build_optimizer(tcfg, variables["params"])
+    state = make_train_state(variables, optimizer)
+    step = make_train_step(model, optimizer, "cross")
+    prep = CaptionPreprocessor(_tokenizer(), max_len=16)
+    our_traj = []
+    for feats, pad, caps in batches:
+        ids, mask = prep(caps)
+        batch = {
+            "feats": [jnp.asarray(feats)], "masks": [jnp.asarray(pad)],
+            "token_ids": jnp.asarray(ids), "token_mask": jnp.asarray(mask),
+            "text_feat": jnp.asarray(_text_feats(caps)),
+        }
+        state, metrics = step(state, batch)
+        our_traj.append((float(metrics["loss"]), float(metrics["cap_loss"]),
+                         float(metrics["match_loss"])))
+
+    np.testing.assert_allclose(our_traj, ref_traj, rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(our_traj[0], ref_traj[0], rtol=2e-5)
+    # the learned CSL temperature itself trained, and to the same value
+    t_ref = float(ref.matching.loss_fn.temperature.detach())
+    t_ours = float(np.asarray(state.params["matching"]["temperature"])[0])
+    assert t_ref != 1.0, "temperature never moved — not actually trainable"
+    np.testing.assert_allclose(t_ours, t_ref, rtol=1e-4)
+
+
 def test_greedy_early_stop_corner(ref_model, ours):
     """Force every row to emit the stop token at step 1 by declaring the
     argmax-favored first token as end_id — covers the all-finished early
