@@ -470,6 +470,98 @@ def test_cross_task_dynamics_match_reference():
     np.testing.assert_allclose(t_ours, t_ref, rtol=1e-4)
 
 
+def test_match_task_dynamics_match_reference():
+    """Match-task trajectory parity (``MMT4Caption.py:123-130``): 10 Adam
+    steps of the contrastive loss alone, with mode('match') freezing the
+    CAP DECODER (``MMT4Caption.py:200-202``) — the freeze arm the caption
+    test doesn't cover (there it's matching that freezes). Pins that the
+    decoder stays bit-identical on both sides while the matching head
+    trains to the same values."""
+    import dataclasses
+    import json
+
+    import model.MMT4Caption as ref_mod
+
+    ref_mod.CapPreprocessor = _StubCapPreprocessor
+    ref_mod.TextEncoder = _DynTextEncoder
+    with open(CONFIG_JSON) as f:
+        model_cfg_dict = json.load(f)["model"]
+    model_cfg_dict["dropout"] = 0.0
+    model_cfg_dict["matching"]["enable_tem"] = True
+    torch.manual_seed(31)
+    ref = ref_mod.MMT4Caption(model_cfg_dict, device=torch.device("cpu"))
+    ref.train()
+    ref.mode("match")
+    ref.video_encoder.transformer_encoder.enable_nested_tensor = False
+    ref.video_encoder.transformer_encoder.use_nested_tensor = False
+
+    cfg = load_config(CONFIG_JSON)
+    model_cfg = dataclasses.replace(
+        cfg.model, vocab_size=len(VOCAB), dropout=0.0,
+        matching=dataclasses.replace(cfg.model.matching, enable_tem=True),
+    )
+    tpu_cfg = dataclasses.replace(
+        cfg.tpu, quirk_no_memory_mask_in_decoder=True,
+        quirk_unmasked_aggregation=True, max_caption_len=16,
+    )
+    model = MMT4Caption(model_cfg, tpu_cfg)
+    feats0 = [jnp.zeros((B, T, D_FEAT))]
+    caps0 = jnp.zeros((B, 16), jnp.int32)
+    variables = model.init(
+        jax.random.PRNGKey(0), feats0, None, caps0, caps0 == 0,
+        jnp.zeros((B, 512)), method=MMT4Caption.cross_loss,
+    )
+    sd = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+    variables, report = convert_state_dict(variables, sd)
+    assert not report["missing"], report["missing"]
+    dec_before = jax.tree_util.tree_map(
+        lambda a: np.array(a), variables["params"]["cap_decoder"]
+    )
+    ref_dec_before = {k: v.detach().clone()
+                      for k, v in ref.cap_decoder.state_dict().items()}
+
+    batches = _dyn_batches(10)
+    tcfg = dataclasses.replace(cfg.train, task="match")
+    t = tcfg.optimizer
+    opt = torch.optim.Adam(
+        [p for p in ref.parameters() if p.requires_grad],
+        lr=t.learning_rate, betas=tuple(t.beta), weight_decay=t.weight_decay,
+    )
+    ref_traj = []
+    for feats, pad, caps in batches:
+        loss = ref.match_forward(
+            [torch.tensor(feats)], [torch.tensor(pad)], list(caps)
+        )
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_traj.append(float(loss))
+
+    optimizer = build_optimizer(tcfg, variables["params"])
+    state = make_train_state(variables, optimizer)
+    step = make_train_step(model, optimizer, "match")
+    our_traj = []
+    for feats, pad, caps in batches:
+        batch = {
+            "feats": [jnp.asarray(feats)], "masks": [jnp.asarray(pad)],
+            "text_feat": jnp.asarray(_text_feats(caps)),
+        }
+        state, metrics = step(state, batch)
+        our_traj.append(float(metrics["loss"]))
+
+    assert our_traj[0] != our_traj[-1]
+    np.testing.assert_allclose(our_traj, ref_traj, rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(our_traj[0], ref_traj[0], rtol=2e-5)
+    # frozen arm: the CAP DECODER must not move on either side
+    for k, v in ref.cap_decoder.state_dict().items():
+        assert torch.equal(v, ref_dec_before[k]), k
+    frozen_ok = jax.tree_util.tree_map(
+        lambda a, b: bool(np.array_equal(np.asarray(a), b)),
+        state.params["cap_decoder"], dec_before,
+    )
+    assert all(jax.tree_util.tree_leaves(frozen_ok))
+
+
 def test_greedy_early_stop_corner(ref_model, ours):
     """Force every row to emit the stop token at step 1 by declaring the
     argmax-favored first token as end_id — covers the all-finished early
