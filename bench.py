@@ -231,7 +231,8 @@ def e2e_eval_bench(variables, greedy) -> dict:
 
     t0 = time.perf_counter()
     gts, samples, ids = make_coco_sample(vid2result, ds.video2caption)
-    scores = dict(COCOScorer(verbose=False).score(gts, samples, ids))
+    scorer = COCOScorer(verbose=False)
+    scores = dict(scorer.score(gts, samples, ids))
     score_secs = time.perf_counter() - t0
     assert all(np.isfinite(v) for v in scores.values())
 
@@ -243,15 +244,10 @@ def e2e_eval_bench(variables, greedy) -> dict:
         "e2e_scoring_secs": round(score_secs, 2),
         "e2e_split_gen_secs": round(gen_secs, 2),
         "e2e_transfer_dtype": "float16",
-        # self-describing METEOR resource provenance (round-4 VERDICT #8)
-        "meteor_synonyms": _meteor_provenance(),
+        # self-describing METEOR resource provenance (round-4 VERDICT #8),
+        # read from the scorer that actually produced the value
+        "meteor_synonyms": scorer.meteor_provenance,
     }
-
-
-def _meteor_provenance() -> str:
-    from vct_tpu.evalcap.meteor_data import SYNONYM_PROVENANCE
-
-    return SYNONYM_PROVENANCE
 
 
 def e2e_train_bench(model) -> dict:

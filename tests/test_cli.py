@@ -149,6 +149,33 @@ def test_predict_rejects_modality_mismatch(workspace):
               str(workspace / "feats" / "vid1.npy")])
 
 
+def test_order_i3d_streams_follows_modal_names():
+    """--i3d_stream both: both streams are dim 1024, so the stream->slot
+    mapping must follow the config's modal names when they disambiguate,
+    and warn about the positional [rgb, flow] assumption when they don't
+    (round-5 review finding: silent swap = garbage captions)."""
+    from vct_tpu.cli.predict import _order_i3d_streams
+
+    msgs = []
+    log = msgs.append
+    # names disambiguate: flow first -> streams reordered
+    assert _order_i3d_streams(
+        ["rgb", "flow"], ["i3d_flow", "i3d_rgb"], log) == ["flow", "rgb"]
+    assert any("flow first" in m for m in msgs)
+    # names match the positional default -> unchanged, no warning
+    msgs.clear()
+    assert _order_i3d_streams(
+        ["rgb", "flow"], ["i3d_rgb", "i3d_flow"], log) == ["rgb", "flow"]
+    assert not msgs
+    # ambiguous names -> positional default, loud warning
+    msgs.clear()
+    assert _order_i3d_streams(
+        ["rgb", "flow"], ["feat_a", "feat_b"], log) == ["rgb", "flow"]
+    assert any("WARNING" in m for m in msgs)
+    # single stream: nothing to order
+    assert _order_i3d_streams(["flow"], ["feat_a"], log) == ["flow"]
+
+
 def test_train_cli_msrvtt_format(tmp_path, capsys):
     """Same CLI flow over MSR-VTT JSON annotations (videos[].split +
     sentences[]; reference dataloader.py:411-436)."""

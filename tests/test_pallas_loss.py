@@ -232,6 +232,40 @@ class TestShardedKernel:
             fl.linear_sce_parts_sharded(
                 self._mesh(), "data", x, wg, bg, labels, keep, m)
 
+    def test_auto_indivisible_rows_fall_back_to_scan(self, monkeypatch):
+        """Rows that don't tile the data axis must NOT fall back to the
+        UNSHARDED kernel (a single-device pallas_call cannot be
+        auto-partitioned inside a multi-device jit — it dies at lowering);
+        the auto dispatcher forces the GSPMD-shardable scan path instead."""
+        from vct_tpu.parallel import mesh as pm
+
+        monkeypatch.setattr(fl, "_INTERPRET", True)
+        # n=300 is kernel-eligible stand-alone but 300 % 8 != 0
+        x, wg, bg, labels, keep, m = _data(n=300, e=128, v=1111, seed=5)
+        assert fl._pallas_ok(True, x, wg, jnp.float32)
+        seen = []
+        real = fl.linear_sce_parts
+
+        def spy(x, wg, bg, labels, keep_ce, m_rce, dtype=jnp.float32,
+                block_v=2048, with_rce=True, stash=False, use_pallas=False):
+            seen.append(use_pallas)
+            return real(x, wg, bg, labels, keep_ce, m_rce, dtype, block_v,
+                        with_rce, stash, use_pallas)
+
+        monkeypatch.setattr(fl, "linear_sce_parts", spy)
+        pm.set_kernel_mesh(self._mesh())
+        try:
+            out = fl.linear_sce_parts_auto(
+                x, wg, bg, labels, keep, m, jnp.float32, 256, True, False,
+                use_pallas=True, partition_kernels=True)
+        finally:
+            pm.set_kernel_mesh(None)
+        assert seen == [False], f"expected forced scan path, saw {seen}"
+        ref = real(x, wg, bg, labels, keep, m, jnp.float32, 256, True, False,
+                   False)
+        for a, b in zip(out, ref):
+            np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+
 
 class TestVmemGeometry:
     """Round-4 regression: the first real-TPU compile OOMed scoped VMEM

@@ -255,6 +255,30 @@ def test_extract_cli_i3d_flow(tmp_path, capsys):
     assert "extracted 1 videos" in capsys.readouterr().out
 
 
+def test_extract_cli_i3d_flow_single_frame_video(tmp_path, capsys):
+    """A degenerate 1-frame video must not abort the flow-arm run:
+    estimate_flow needs >= 2 frames, so extract duplicates the frame
+    (exactly-zero flow field) — the same tolerance i3d_stacks' frame
+    looping gives the RGB arm (round-5 review finding)."""
+    from tests.test_i3d import _synthetic_state_dict
+
+    from vct_tpu.cli.extract import main
+
+    vid_dir = tmp_path / "vids"; vid_dir.mkdir()
+    _write_video(vid_dir / "one.avi", n_frames=1)
+    np.savez(tmp_path / "i3d_flow.npz",
+             **_synthetic_state_dict(np.random.RandomState(2), in_channels=2))
+    out = tmp_path / "feats"
+
+    main(["--videos", str(vid_dir), "--out", str(out), "--feat_type", "I3D",
+          "--i3d_stream", "flow",
+          "--i3d_weights", str(tmp_path / "i3d_flow.npz")])
+    a = np.load(out / "one.npy")
+    assert a.shape == (1, 1024)
+    assert np.isfinite(a).all()
+    assert "extracted 1 videos" in capsys.readouterr().out
+
+
 def test_predict_cli_i3d_raw_video(tmp_path):
     """predict -v --feat_type I3D: I3D tower features -> captioner."""
     from tests.test_i3d import _synthetic_state_dict

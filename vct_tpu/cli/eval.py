@@ -118,6 +118,7 @@ def evaluate(cfg, ckpt_path: str, beam: int = 0, log=print) -> Dict[str, float]:
     scores = dict(scorer.score(gts, samples, ids))
     evaluate.predictions = vid2result
     evaluate.per_video = scorer.imgToEval
+    evaluate.meteor_provenance = scorer.meteor_provenance
     return scores
 
 
@@ -141,12 +142,11 @@ def main(argv=None) -> None:
             json.dump(evaluate.predictions, f, indent=2, ensure_ascii=False)
         print(f"wrote predictions to {args.out}")
     if args.metrics_out:
-        from vct_tpu.evalcap.meteor_data import SYNONYM_PROVENANCE
-
         record = {k: float(v) for k, v in scores.items()}
         # self-describing resource provenance: which synonym table produced
-        # the METEOR value (round-4 VERDICT #8; the jar uses WordNet)
-        record["_meteor_synonyms"] = SYNONYM_PROVENANCE
+        # the METEOR value (round-4 VERDICT #8; the jar uses WordNet) —
+        # read back from the scorer that actually ran, not a constant
+        record["_meteor_synonyms"] = evaluate.meteor_provenance
         with open(args.metrics_out, "w") as f:
             json.dump(record, f, indent=2)
         print(f"wrote metrics to {args.metrics_out}")

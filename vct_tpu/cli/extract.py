@@ -44,8 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "in vct_tpu/i3d/flow.py). Run twice with two --out "
                         "dirs for a two-modality dataset.")
     p.add_argument("--i3d_weights", type=str, default=None,
-                   help="Kinetics I3D RGB weights for --feat_type I3D "
-                        "(torch InceptionI3d state dict .pt/.pth or .npz)")
+                   help="Kinetics I3D weights for --feat_type I3D, matching "
+                        "--i3d_stream (RGB weights for rgb, flow weights for "
+                        "flow; torch InceptionI3d state dict .pt/.pth or .npz)")
     p.add_argument("--batch_frames", type=int, default=256,
                    help="frames per device batch (videos are packed together)")
     p.add_argument("--overwrite", action="store_true")
@@ -142,18 +143,23 @@ def _make_i3d_encoder(args):
     )
 
     if args.i3d_weights is None:
-        stream = getattr(args, "i3d_stream", "rgb")
         raise SystemExit(f"--feat_type I3D needs --i3d_weights "
-                         f"(Kinetics InceptionI3d {stream.upper()} state dict)")
+                         f"(Kinetics InceptionI3d {args.i3d_stream.upper()} "
+                         f"state dict)")
     params = jax.tree_util.tree_map(
         jnp.asarray, convert_i3d(load_i3d_state_dict(args.i3d_weights)))
     tower = I3DTower()
     jitted = jax.jit(lambda p, clips: tower.apply({"params": p}, clips))
-    prep = (preprocess_i3d_flow if getattr(args, "i3d_stream", "rgb") == "flow"
-            else preprocess_i3d_frames)
+    is_flow = args.i3d_stream == "flow"
+    prep = preprocess_i3d_flow if is_flow else preprocess_i3d_frames
 
     def video_feats(vp) -> np.ndarray:
         frames = sample_frames(str(vp), "fix_1")  # every frame
+        if is_flow and len(frames) < 2:
+            # estimate_flow needs two frames; duplicating the single frame
+            # yields an exactly-zero flow field, the same degenerate-video
+            # tolerance i3d_stacks' frame looping gives the RGB arm.
+            frames = np.concatenate([frames, frames])
         clips = i3d_stacks(prep(frames))
         # one clip per launch: stack counts vary per video and padding a
         # [n, 64, 224, 224, 3] batch would recompile per shape anyway

@@ -82,6 +82,30 @@ def load_clip_params(clip_weights: str):
     )
 
 
+def _order_i3d_streams(streams, modal_names, log=print):
+    """Align ``--i3d_stream both`` with the checkpoint's modality order.
+
+    Both I3D streams are dim-1024, so the shape check cannot catch a
+    swapped order (it would silently feed RGB features into the flow slot).
+    When the config's modal names say which slot is which ('flow' / 'rgb'
+    substrings), follow them; otherwise state the positional [rgb, flow]
+    assumption out loud."""
+    if len(streams) != 2:
+        return streams
+    names = [str(m).lower() for m in modal_names]
+    flow_slots = [i for i, m in enumerate(names) if "flow" in m]
+    rgb_slots = [i for i, m in enumerate(names) if "rgb" in m or m == "i3d"]
+    if flow_slots == [0] and 1 in rgb_slots:
+        log(f"modal names put flow first: feeding streams as ['flow', 'rgb'] "
+            f"to match {list(modal_names)}")
+        return ["flow", "rgb"]
+    if not (flow_slots == [1] or rgb_slots == [0]):
+        log(f"WARNING: cannot tell which of modal={list(modal_names)} is the "
+            "flow slot (both streams are dim 1024); assuming the training "
+            "order was [rgb, flow]")
+    return streams
+
+
 def predict(cfg, args, log=print) -> str:
     """Programmatic entry (reference ``predict``, ``predict_video.py:110-142``).
     Returns the caption string; attention maps at ``predict.attn`` when
@@ -128,6 +152,7 @@ def predict(cfg, args, log=print) -> str:
                 f"config has modal={cfg.model.modal} "
                 f"modal_shape={cfg.model.modal_shape}"
             )
+        streams = _order_i3d_streams(streams, cfg.model.modal, log)
         import jax
 
         from vct_tpu.clip import sample_frames

@@ -38,6 +38,11 @@ class COCOScorer:
         self.verbose = verbose
         self.eval: Dict[str, float] = {}
         self.imgToEval: Dict[str, Dict] = {}
+        # provenance of the synonym table behind the METEOR value; refreshed
+        # by score() from the actual Meteor instance so downstream records
+        # (cli.eval --metrics_out, bench.py) stay truthful if the scorer is
+        # ever constructed with extended_synonyms=True
+        self.meteor_provenance: str = Meteor().provenance
         # one-time provenance note so METEOR numbers are not accidentally
         # cross-compared with jar-scored papers (round-1 advisor finding)
         global _meteor_note_shown
@@ -58,6 +63,8 @@ class COCOScorer:
             (Cider(), "CIDEr"),
         ]
         for scorer, method in scorers:
+            if isinstance(scorer, Meteor):
+                self.meteor_provenance = scorer.provenance
             score, per = scorer.compute_score(gts_tok, res_tok)
             if isinstance(method, list):
                 for sc, scs, m in zip(score, per, method):

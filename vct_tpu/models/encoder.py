@@ -99,7 +99,13 @@ class _MMEBase(nn.Module):
                 name="modal_emb",
             )
         if self.do_norm:
-            self.pre_norm = nn.LayerNorm(epsilon=1e-5, name="pre_norm", **mk)
+            # fp32 LN statistics are the torch-parity default; fast_math
+            # keeps the reductions in the compute dtype (same toggle as
+            # the layers.py LayerNorms so tpu.fast_numerics covers ALL
+            # module LayerNorms, do_norm configs included)
+            self.pre_norm = nn.LayerNorm(
+                epsilon=1e-5, name="pre_norm",
+                force_float32_reductions=not self.fast_math, **mk)
             self.pre_dropout = nn.Dropout(self.dropout_rate)
 
     def _front_end(

@@ -550,12 +550,17 @@ def linear_sce_parts_auto(
             and mesh.size > 1
             and "data" in mesh.shape
             and mesh.shape["data"] > 1
-            and x.shape[0] % mesh.shape["data"] == 0
         ):
-            return linear_sce_parts_sharded(
-                mesh, "data", x, wg, bg, labels, keep_ce, m_rce, dtype,
-                block_v, with_rce, stash, use_pallas,
-            )
+            if x.shape[0] % mesh.shape["data"] == 0:
+                return linear_sce_parts_sharded(
+                    mesh, "data", x, wg, bg, labels, keep_ce, m_rce, dtype,
+                    block_v, with_rce, stash, use_pallas,
+                )
+            # Rows don't tile the data axis: a single-device pallas_call
+            # cannot be auto-partitioned by GSPMD inside this multi-device
+            # jit (it fails at lowering), so force the scan path — XLA
+            # shards scans freely and the loss parts are identical.
+            use_pallas = False
     return linear_sce_parts(
         x, wg, bg, labels, keep_ce, m_rce, dtype, block_v, with_rce, stash,
         use_pallas,

@@ -117,7 +117,8 @@ class Trainer:
             self.log("model-axis > 1: disabling the fused LM-head loss in "
                      "favor of GSPMD vocab-sharded logits")
             tpu_cfg = dataclasses.replace(tpu_cfg, use_fused_loss=False)
-        if self.mesh.size > 1 and tpu_cfg.fused_loss_pallas:
+        if (self.mesh.size > 1 and tpu_cfg.use_fused_loss
+                and tpu_cfg.fused_loss_pallas):
             if tpu_cfg.pallas_partition_kernels:
                 # same opt-in as attention: the kernels run unmodified per
                 # shard under shard_map over 'data', four psum'd sums out
