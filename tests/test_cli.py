@@ -172,6 +172,28 @@ def test_order_i3d_streams_follows_modal_names():
     assert _order_i3d_streams(
         ["rgb", "flow"], ["feat_a", "feat_b"], log) == ["rgb", "flow"]
     assert any("WARNING" in m for m in msgs)
+    # one-sided evidence pins the other slot (round-5 review finding):
+    # a lone 'flow' name first, or a lone 'rgb' name second, both reorder
+    msgs.clear()
+    assert _order_i3d_streams(
+        ["rgb", "flow"], ["flow", "motion"], log) == ["flow", "rgb"]
+    assert any("flow first" in m for m in msgs)
+    msgs.clear()
+    assert _order_i3d_streams(
+        ["rgb", "flow"], ["motion", "rgb"], log) == ["flow", "rgb"]
+    assert any("flow first" in m for m in msgs)
+    # one-sided evidence agreeing with the positional default -> quiet
+    msgs.clear()
+    assert _order_i3d_streams(
+        ["rgb", "flow"], ["rgb", "motion"], log) == ["rgb", "flow"]
+    assert _order_i3d_streams(
+        ["rgb", "flow"], ["motion", "flow"], log) == ["rgb", "flow"]
+    assert not msgs
+    # conflicting evidence ('flow' in both names) -> warn, positional
+    msgs.clear()
+    assert _order_i3d_streams(
+        ["rgb", "flow"], ["flow_a", "flow_b"], log) == ["rgb", "flow"]
+    assert any("WARNING" in m for m in msgs)
     # single stream: nothing to order
     assert _order_i3d_streams(["flow"], ["feat_a"], log) == ["flow"]
 

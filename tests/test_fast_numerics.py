@@ -66,3 +66,37 @@ def test_bf16_fast_mode_close_but_distinct():
 
 def test_fp32_fast_mode_is_noop():
     assert _loss(jnp.float32, True) == _loss(jnp.float32, False)
+
+
+def test_fast_numerics_keeps_decode_on_the_module_graph(monkeypatch):
+    """fast_numerics drops the module graph to compute-dtype LN stats /
+    softmax logits while the fused decode kernels keep their fp32 schedule,
+    so the two paths are no longer token-exact. The auto dispatch must not
+    mix them: with the flag on it returns the module-graph program without
+    ever building the fused path (round-5 review finding)."""
+    import vct_tpu.decode_fast as df
+    from vct_tpu.decode import make_auto_beam_fn, make_auto_greedy_fn
+
+    cfg = dataclasses.replace(ModelConfig.from_dict(_MODEL_D), vocab_size=64)
+
+    def boom(*a, **k):
+        raise AssertionError("fused path built despite fast_numerics")
+
+    monkeypatch.setattr(df, "make_fused_greedy_fn", boom)
+    monkeypatch.setattr(df, "make_fused_beam_fn", boom)
+
+    # interpret=True takes the on-TPU dispatch branch on this CPU host
+    model = MMT4Caption(
+        cfg, TPUConfig(fast_numerics=True, use_pallas_attention=True),
+        dtype=jnp.float32)
+    make_auto_greedy_fn(model, 8, 2, 3, interpret=True)
+    make_auto_beam_fn(model, 8, 2, 3, beam_size=2, interpret=True)
+
+    # control: with the flag off the same calls DO build the fused path
+    model0 = MMT4Caption(
+        cfg, TPUConfig(fast_numerics=False, use_pallas_attention=True),
+        dtype=jnp.float32)
+    with pytest.raises(AssertionError, match="despite fast_numerics"):
+        make_auto_greedy_fn(model0, 8, 2, 3, interpret=True)
+    with pytest.raises(AssertionError, match="despite fast_numerics"):
+        make_auto_beam_fn(model0, 8, 2, 3, beam_size=2, interpret=True)

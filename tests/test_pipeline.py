@@ -327,3 +327,66 @@ def test_predict_cli_i3d_raw_video(tmp_path):
     main(["-c", str(tmp_path / "config.json"), "-m", ckpt,
           "-v", str(tmp_path / "in.avi"), "--feat_type", "I3D",
           "--i3d_weights", str(tmp_path / "i3d.npz"), "--greedy"])
+
+
+def test_predict_cli_i3d_both_streams_single_frame(tmp_path):
+    """predict -v --i3d_stream both on a degenerate 1-frame video: two
+    I3D towers (RGB + flow) feed a two-modality captioner. Covers the
+    round-5 review findings — the flow arm duplicates the single frame
+    (exactly-zero flow field) instead of crashing, and the stream->slot
+    ordering follows the config's modal names."""
+    from tests.test_i3d import _synthetic_state_dict
+
+    from vct_tpu.cli.predict import main
+
+    _write_video(tmp_path / "in.avi", n_frames=1)
+    rs = np.random.RandomState(3)
+    np.savez(tmp_path / "i3d_rgb.npz", **_synthetic_state_dict(rs))
+    np.savez(tmp_path / "i3d_flow.npz",
+             **_synthetic_state_dict(rs, in_channels=2))
+
+    rng = np.random.default_rng(1)
+    lines = []
+    feat_dirs = []
+    for modal in ("rgbd", "flowd"):
+        d = tmp_path / modal; d.mkdir()
+        feat_dirs.append(str(d))
+        for i in range(3):
+            np.save(d / f"vid{i}.npy",
+                    rng.standard_normal((2, 1024)).astype(np.float32))
+    lines = [f"vid{i} a thing moves {i}" for i in range(3)]
+    (tmp_path / "ann.txt").write_text("\n".join(lines))
+    (tmp_path / "vocab.txt").write_text(
+        "\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+                   "a", "thing", "moves", "0", "1", "2"]))
+    split = {"feat_dir": feat_dirs, "annotation_path": str(tmp_path / "ann.txt"),
+             "dataset": "msvd", "mode": "by_caption", "split_mode": "train",
+             "batch_size": 2}
+    cfg = {
+        "data": {"train": split, "eval": dict(split, mode="by_video",
+                                              split_mode="validate")},
+        "train": {"task": "caption", "optimizer": {"name": "adam", "learning_rate": 1e-3},
+                  "epoch": 1, "save_dir": str(tmp_path / "ckpt"),
+                  "log_dir": str(tmp_path / "log"), "tag": "t"},
+        "test": {"max_length": 8},
+        "model": {"modal": ["i3d_rgb", "i3d_flow"], "modal_shape": [1024, 1024],
+                  "embed_dim": 32, "dropout": 0.1, "activation": "gelu",
+                  "video_encoder": {"layer": 1, "nhead": 2, "feedforward": 64,
+                                    "mme": {"temporal": "encoding", "aggregation": "avg"}},
+                  "caption_decoder": {"layer": 1, "nhead": 2, "feedforward": 64}},
+        "tpu": {"max_frames": 5, "max_caption_len": 10, "dtype": "float32",
+                "mesh_data": 1, "vocab_path": str(tmp_path / "vocab.txt")},
+    }
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+
+    from vct_tpu.config import load_config
+    from vct_tpu.train.loop import Trainer
+
+    trainer = Trainer(load_config(str(tmp_path / "config.json")), log=lambda *_: None)
+    ckpt = trainer.save("_e0", 0)
+
+    main(["-c", str(tmp_path / "config.json"), "-m", ckpt,
+          "-v", str(tmp_path / "in.avi"), "--feat_type", "I3D",
+          "--i3d_stream", "both",
+          "--i3d_weights", str(tmp_path / "i3d_rgb.npz"),
+          "--i3d_flow_weights", str(tmp_path / "i3d_flow.npz"), "--greedy"])

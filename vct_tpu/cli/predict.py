@@ -95,11 +95,18 @@ def _order_i3d_streams(streams, modal_names, log=print):
     names = [str(m).lower() for m in modal_names]
     flow_slots = [i for i, m in enumerate(names) if "flow" in m]
     rgb_slots = [i for i, m in enumerate(names) if "rgb" in m or m == "i3d"]
-    if flow_slots == [0] and 1 in rgb_slots:
+    # one identifiable slot pins the other, so one-sided evidence (e.g.
+    # modal=['flow', 'motion'] or ['motion', 'rgb']) is enough to order by
+    flow_idx = None
+    if len(flow_slots) == 1 and flow_slots[0] not in rgb_slots:
+        flow_idx = flow_slots[0]
+    elif not flow_slots and len(rgb_slots) == 1:
+        flow_idx = 1 - rgb_slots[0]
+    if flow_idx == 0:
         log(f"modal names put flow first: feeding streams as ['flow', 'rgb'] "
             f"to match {list(modal_names)}")
         return ["flow", "rgb"]
-    if not (flow_slots == [1] or rgb_slots == [0]):
+    if flow_idx is None:
         log(f"WARNING: cannot tell which of modal={list(modal_names)} is the "
             "flow slot (both streams are dim 1024); assuming the training "
             "order was [rgb, flow]")
@@ -160,13 +167,19 @@ def predict(cfg, args, log=print) -> str:
         tower = I3DTower()
         jitted = jax.jit(lambda p, clips: tower.apply({"params": p}, clips))
         frames = sample_frames(args.video, "fix_1")
+        frames_for = {"rgb": frames, "flow": frames}
+        if "flow" in streams and len(frames) < 2:
+            # estimate_flow needs two frames; duplicating the single frame
+            # yields an exactly-zero flow field — the same degenerate-video
+            # tolerance as extract.py and i3d_stacks' frame looping.
+            frames_for["flow"] = np.concatenate([frames, frames])
         feats = []
         weights = {"rgb": args.i3d_weights, "flow": args.i3d_flow_weights}
         prep = {"rgb": preprocess_i3d_frames, "flow": preprocess_i3d_flow}
         for stream in streams:
             params = jax.tree_util.tree_map(
                 jnp.asarray, convert_i3d(load_i3d_state_dict(weights[stream])))
-            clips = i3d_stacks(prep[stream](frames))
+            clips = i3d_stacks(prep[stream](frames_for[stream]))
             stacked = np.concatenate(
                 [np.asarray(jitted(params, clips[i:i + 1]))
                  for i in range(len(clips))])

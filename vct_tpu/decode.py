@@ -268,7 +268,12 @@ def make_auto_greedy_fn(model: MMT4Caption, max_len: int, start_id: int,
     module_fn = make_greedy_fn(model, max_len, start_id, end_id,
                                collect_attn=collect_attn)
     on_tpu = jax.default_backend() == "tpu" or interpret
-    if collect_attn or not model.tpu.use_pallas_attention or not on_tpu:
+    # tpu.fast_numerics drops the module graph to compute-dtype LN stats /
+    # softmax logits while the fused kernels keep their fp32 schedule, so the
+    # two paths are no longer token-exact — dispatch must not mix them
+    # (CLAUDE.md invariant; measured win of fast_numerics is ~0 anyway).
+    if (collect_attn or not model.tpu.use_pallas_attention or not on_tpu
+            or model.tpu.fast_numerics):
         return module_fn
 
     if mesh is not None and mesh.size > 1:
@@ -335,7 +340,9 @@ def make_auto_beam_fn(model: MMT4Caption, max_len: int, start_id: int,
     module_fn = make_beam_fn(model, max_len, start_id, end_id, beam_size,
                              length_penalty)
     on_tpu = jax.default_backend() == "tpu" or interpret
-    if not model.tpu.use_pallas_attention or not on_tpu:
+    # see make_auto_greedy_fn: fast_numerics breaks fused/module exactness
+    if (not model.tpu.use_pallas_attention or not on_tpu
+            or model.tpu.fast_numerics):
         return module_fn
     if mesh is not None and mesh.size > 1:
         if (

@@ -42,7 +42,9 @@ class COCOScorer:
         # by score() from the actual Meteor instance so downstream records
         # (cli.eval --metrics_out, bench.py) stay truthful if the scorer is
         # ever constructed with extended_synonyms=True
-        self.meteor_provenance: str = Meteor().provenance
+        from vct_tpu.evalcap.meteor_data import SYNONYM_PROVENANCE
+
+        self.meteor_provenance: str = SYNONYM_PROVENANCE
         # one-time provenance note so METEOR numbers are not accidentally
         # cross-compared with jar-scored papers (round-1 advisor finding)
         global _meteor_note_shown

@@ -175,7 +175,9 @@ def resize_center_crop(frames: np.ndarray) -> np.ndarray:
     imported here."""
     import cv2
 
-    out = np.empty((len(frames), IMAGE_SIZE, IMAGE_SIZE, 3), np.uint8)
+    # buffer keeps the input dtype: cv2.resize preserves it, and forcing
+    # uint8 would silently truncate/wrap float-frame callers
+    out = np.empty((len(frames), IMAGE_SIZE, IMAGE_SIZE, 3), frames.dtype)
     for i, f in enumerate(frames):
         h, w = f.shape[:2]
         s = 256.0 / min(h, w)
