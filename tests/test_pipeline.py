@@ -390,3 +390,52 @@ def test_predict_cli_i3d_both_streams_single_frame(tmp_path):
           "--i3d_stream", "both",
           "--i3d_weights", str(tmp_path / "i3d_rgb.npz"),
           "--i3d_flow_weights", str(tmp_path / "i3d_flow.npz"), "--greedy"])
+
+
+def test_extract_cli_i3d_both_matches_single_stream_runs(tmp_path, capsys):
+    """--i3d_stream both (round 5): one pass decodes + crops each video once
+    and writes RGB features to --out and flow features to --out_flow. Must be
+    BIT-identical to the two single-stream runs it replaces (the shared crop
+    is exactly what preprocess_i3d_frames/_flow each start from)."""
+    from tests.test_i3d import _synthetic_state_dict
+
+    from vct_tpu.cli.extract import main
+
+    vid_dir = tmp_path / "vids"; vid_dir.mkdir()
+    _write_video(vid_dir / "a.avi", n_frames=3)
+    rs = np.random.RandomState(7)
+    np.savez(tmp_path / "rgb.npz", **_synthetic_state_dict(rs))
+    np.savez(tmp_path / "flow.npz", **_synthetic_state_dict(rs, in_channels=2))
+    w = {"rgb": str(tmp_path / "rgb.npz"), "flow": str(tmp_path / "flow.npz")}
+
+    main(["--videos", str(vid_dir), "--out", str(tmp_path / "both_rgb"),
+          "--out_flow", str(tmp_path / "both_flow"), "--feat_type", "I3D",
+          "--i3d_stream", "both", "--i3d_weights", w["rgb"],
+          "--i3d_flow_weights", w["flow"]])
+    assert "extracted 1 videos" in capsys.readouterr().out
+
+    for stream in ("rgb", "flow"):
+        main(["--videos", str(vid_dir), "--out", str(tmp_path / f"solo_{stream}"),
+              "--feat_type", "I3D", "--i3d_stream", stream,
+              "--i3d_weights", w[stream]])
+        a = np.load(tmp_path / f"both_{stream}" / "a.npy")
+        b = np.load(tmp_path / f"solo_{stream}" / "a.npy")
+        assert a.shape == b.shape == (1, 1024)
+        np.testing.assert_array_equal(a, b)
+
+    # skip logic covers BOTH outputs: rerun without --overwrite writes nothing
+    main(["--videos", str(vid_dir), "--out", str(tmp_path / "both_rgb"),
+          "--out_flow", str(tmp_path / "both_flow"), "--feat_type", "I3D",
+          "--i3d_stream", "both", "--i3d_weights", w["rgb"],
+          "--i3d_flow_weights", w["flow"]])
+    assert "extracted 0 videos (1 skipped)" in capsys.readouterr().out
+
+    # missing --out_flow / --i3d_flow_weights fail loudly
+    with pytest.raises(SystemExit, match="out_flow"):
+        main(["--videos", str(vid_dir), "--out", str(tmp_path / "x"),
+              "--feat_type", "I3D", "--i3d_stream", "both",
+              "--i3d_weights", w["rgb"], "--i3d_flow_weights", w["flow"]])
+    with pytest.raises(SystemExit, match="i3d_flow_weights"):
+        main(["--videos", str(vid_dir), "--out", str(tmp_path / "x"),
+              "--out_flow", str(tmp_path / "y"), "--feat_type", "I3D",
+              "--i3d_stream", "both", "--i3d_weights", w["rgb"]])

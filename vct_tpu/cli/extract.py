@@ -38,15 +38,24 @@ def build_parser() -> argparse.ArgumentParser:
                         "CLIP* -> (T, 512) frame features, I3D -> (n_stacks, 1024)")
     p.add_argument("--clip_weights", type=str, default=None,
                    help="CLIP ViT-B/32 weights (OpenAI .pt / HF .bin / .npz)")
-    p.add_argument("--i3d_stream", choices=["rgb", "flow"], default="rgb",
-                   help="I3D stream: rgb (default) or flow (host-side "
-                        "optical flow into the flow tower; estimator note "
-                        "in vct_tpu/i3d/flow.py). Run twice with two --out "
-                        "dirs for a two-modality dataset.")
+    p.add_argument("--i3d_stream", choices=["rgb", "flow", "both"],
+                   default="rgb",
+                   help="I3D stream: rgb (default), flow (host-side optical "
+                        "flow into the flow tower; estimator note in "
+                        "vct_tpu/i3d/flow.py), or both — one pass writing "
+                        "RGB features to --out and flow features to "
+                        "--out_flow, decoding and cropping each video once "
+                        "instead of twice.")
     p.add_argument("--i3d_weights", type=str, default=None,
                    help="Kinetics I3D weights for --feat_type I3D, matching "
-                        "--i3d_stream (RGB weights for rgb, flow weights for "
-                        "flow; torch InceptionI3d state dict .pt/.pth or .npz)")
+                        "--i3d_stream (RGB weights for rgb/both, flow weights "
+                        "for flow; torch InceptionI3d state dict .pt/.pth or "
+                        ".npz)")
+    p.add_argument("--i3d_flow_weights", type=str, default=None,
+                   help="Kinetics I3D FLOW weights (--i3d_stream both)")
+    p.add_argument("--out_flow", type=str, default=None,
+                   help="output .npy directory for the flow features with "
+                        "--i3d_stream both (RGB goes to --out)")
     p.add_argument("--batch_frames", type=int, default=256,
                    help="frames per device batch (videos are packed together)")
     p.add_argument("--overwrite", action="store_true")
@@ -84,6 +93,14 @@ def main(argv=None) -> None:
 
     out_dir = pathlib.Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
+    both = args.feat_type == "I3D" and args.i3d_stream == "both"
+    out_flow_dir = None
+    if both:
+        if args.out_flow is None:
+            raise SystemExit("--i3d_stream both needs --out_flow "
+                             "(flow .npy dir; RGB features go to --out)")
+        out_flow_dir = pathlib.Path(args.out_flow)
+        out_flow_dir.mkdir(parents=True, exist_ok=True)
 
     if args.feat_type == "I3D":
         video_feats = _make_i3d_encoder(args)
@@ -114,15 +131,19 @@ def main(argv=None) -> None:
     vids = list_videos(args.videos)
     done = skipped = 0
     for vp in vids:
-        out_path = out_dir / f"{vp.stem}.npy"
-        if out_path.exists() and not args.overwrite:
+        out_paths = [out_dir / f"{vp.stem}.npy"]
+        if both:
+            out_paths.append(out_flow_dir / f"{vp.stem}.npy")
+        if all(p.exists() for p in out_paths) and not args.overwrite:
             skipped += 1
             continue
-        feats = video_feats(vp)
-        np.save(out_path, feats.astype(np.float32))
+        feats = video_feats(vp) if both else [video_feats(vp)]
+        for out_path, f in zip(out_paths, feats):
+            np.save(out_path, f.astype(np.float32))
+            print(f"{vp.name}: {f.shape} -> {out_path}")
         done += 1
-        print(f"{vp.name}: {feats.shape} -> {out_path}")
-    print(f"extracted {done} videos ({skipped} skipped) to {out_dir}")
+    dirs = f"{out_dir} + {out_flow_dir}" if both else f"{out_dir}"
+    print(f"extracted {done} videos ({skipped} skipped) to {dirs}")
 
 
 def _make_i3d_encoder(args):
@@ -143,13 +164,51 @@ def _make_i3d_encoder(args):
     )
 
     if args.i3d_weights is None:
+        what = "RGB" if args.i3d_stream == "both" else args.i3d_stream.upper()
         raise SystemExit(f"--feat_type I3D needs --i3d_weights "
-                         f"(Kinetics InceptionI3d {args.i3d_stream.upper()} "
-                         f"state dict)")
-    params = jax.tree_util.tree_map(
-        jnp.asarray, convert_i3d(load_i3d_state_dict(args.i3d_weights)))
+                         f"(Kinetics InceptionI3d {what} state dict)")
     tower = I3DTower()
     jitted = jax.jit(lambda p, clips: tower.apply({"params": p}, clips))
+
+    def load(path):
+        return jax.tree_util.tree_map(
+            jnp.asarray, convert_i3d(load_i3d_state_dict(path)))
+
+    def tower_feats(params, x) -> np.ndarray:
+        clips = i3d_stacks(x)
+        # one clip per launch: stack counts vary per video and padding a
+        # [n, 64, 224, 224, 3] batch would recompile per shape anyway
+        return np.concatenate([np.asarray(jitted(params, clips[i:i + 1]))
+                               for i in range(len(clips))])
+
+    if args.i3d_stream == "both":
+        # one pass: decode + geometric transform ONCE per video, then both
+        # towers. Bit-identical to two single-stream runs (the shared crop
+        # is exactly what preprocess_i3d_frames/_flow each start from).
+        if args.i3d_flow_weights is None:
+            raise SystemExit("--i3d_stream both needs --i3d_flow_weights "
+                             "(Kinetics InceptionI3d FLOW state dict)")
+        from vct_tpu.i3d.flow import FLOW_TRUNCATE, estimate_flow
+        from vct_tpu.i3d.model import resize_center_crop
+
+        params_rgb, params_flow = load(args.i3d_weights), load(args.i3d_flow_weights)
+
+        def video_feats(vp):
+            frames = sample_frames(str(vp), "fix_1")  # every frame
+            cropped = resize_center_crop(frames)
+            if len(cropped) < 2:  # degenerate 1-frame video: zero flow field
+                cropped_f = np.concatenate([cropped, cropped])
+            else:
+                cropped_f = cropped
+            rgb_in = cropped.astype(np.float32) / 127.5 - 1.0
+            flow_in = np.clip(estimate_flow(cropped_f), -FLOW_TRUNCATE,
+                              FLOW_TRUNCATE) / FLOW_TRUNCATE
+            return (tower_feats(params_rgb, rgb_in),
+                    tower_feats(params_flow, flow_in))
+
+        return video_feats
+
+    params = load(args.i3d_weights)
     is_flow = args.i3d_stream == "flow"
     prep = preprocess_i3d_flow if is_flow else preprocess_i3d_frames
 
@@ -160,11 +219,7 @@ def _make_i3d_encoder(args):
             # yields an exactly-zero flow field, the same degenerate-video
             # tolerance i3d_stacks' frame looping gives the RGB arm.
             frames = np.concatenate([frames, frames])
-        clips = i3d_stacks(prep(frames))
-        # one clip per launch: stack counts vary per video and padding a
-        # [n, 64, 224, 224, 3] batch would recompile per shape anyway
-        return np.concatenate([np.asarray(jitted(params, clips[i:i + 1]))
-                               for i in range(len(clips))])
+        return tower_feats(params, prep(frames))
 
     return video_feats
 
