@@ -20,7 +20,21 @@ from __future__ import annotations
 
 import argparse
 import functools
+import os
+import sys
 import time
+
+# Script bootstrap: Python puts THIS file's dir (tools/) at sys.path[0],
+# which (a) hides the repo root the imports below need and (b) shadows the
+# stdlib `profile` module for anything imported later (the round-5 suite
+# poisoning). Swap it for the repo root so the documented
+# `python tools/profile.py <mode>` works from any cwd.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_TOOLS = os.path.join(_REPO, "tools")
+sys.path[:] = [p for p in sys.path
+               if os.path.abspath(p or os.getcwd()) != _TOOLS]
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 import numpy as np
 
