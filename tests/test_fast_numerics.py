@@ -100,3 +100,30 @@ def test_fast_numerics_keeps_decode_on_the_module_graph(monkeypatch):
         make_auto_greedy_fn(model0, 8, 2, 3, interpret=True)
     with pytest.raises(AssertionError, match="despite fast_numerics"):
         make_auto_beam_fn(model0, 8, 2, 3, beam_size=2, interpret=True)
+
+
+def test_fast_numerics_routes_attention_to_xla(monkeypatch):
+    """fast_math must not be silently ignored on kernel-eligible shapes:
+    the Pallas attention kernel keeps its fp32 softmax schedule, so the
+    dispatch routes fast_math to the XLA path (which honors it) — same
+    rule as the decode dispatch guard."""
+    from vct_tpu.ops import attention as at
+
+    monkeypatch.setattr(at, "FORCE_PALLAS_INTERPRET", True)
+
+    def boom(*a, **k):
+        raise AssertionError("Pallas attention built despite fast_math")
+
+    import vct_tpu.ops.pallas_attention as pa
+
+    monkeypatch.setattr(pa, "fused_attention_trainable", boom)
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((2, 8, 4, 16)), jnp.float32)
+    out, w = at.dot_product_attention(q, q, q, use_pallas=True,
+                                      fast_math=True, deterministic=True)
+    assert out.shape == q.shape and w is None
+    # control: with fast_math off the same call DOES take the kernel
+    with pytest.raises(AssertionError, match="despite fast_math"):
+        at.dot_product_attention(q, q, q, use_pallas=True,
+                                 fast_math=False, deterministic=True)

@@ -295,3 +295,20 @@ def test_flow_preprocess_contract():
 def test_flow_needs_two_frames():
     with pytest.raises(ValueError, match="at least 2"):
         estimate_flow(np.zeros((1, 64, 64, 3), np.uint8))
+
+
+def test_flow_from_cropped_single_frame_zero_field():
+    """flow_from_cropped owns the degenerate-video tolerance (round-5
+    review: the duplicate-frame guard lived copy-pasted at the call sites):
+    one cropped frame -> one near-zero scaled flow field, while
+    estimate_flow itself stays strict (pinned above)."""
+    from vct_tpu.i3d import flow_from_cropped
+
+    one = np.random.RandomState(0).randint(
+        0, 255, (1, 224, 224, 3)).astype(np.uint8)
+    f = flow_from_cropped(one)
+    assert f.shape == (1, 224, 224, 2)
+    assert f.dtype == np.float32
+    # identical frames: Farneback leaves a tiny numerical residue on noise
+    # textures (measured ~0.0025 scaled = 0.05 px), not exact zeros
+    assert np.abs(f).max() < 0.01

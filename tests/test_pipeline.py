@@ -258,7 +258,7 @@ def test_extract_cli_i3d_flow(tmp_path, capsys):
 def test_extract_cli_i3d_flow_single_frame_video(tmp_path, capsys):
     """A degenerate 1-frame video must not abort the flow-arm run:
     estimate_flow needs >= 2 frames, so extract duplicates the frame
-    (exactly-zero flow field) — the same tolerance i3d_stacks' frame
+    (near-zero flow field) — the same tolerance i3d_stacks' frame
     looping gives the RGB arm (round-5 review finding)."""
     from tests.test_i3d import _synthetic_state_dict
 
@@ -333,7 +333,7 @@ def test_predict_cli_i3d_both_streams_single_frame(tmp_path):
     """predict -v --i3d_stream both on a degenerate 1-frame video: two
     I3D towers (RGB + flow) feed a two-modality captioner. Covers the
     round-5 review findings — the flow arm duplicates the single frame
-    (exactly-zero flow field) instead of crashing, and the stream->slot
+    (near-zero flow field) instead of crashing, and the stream->slot
     ordering follows the config's modal names."""
     from tests.test_i3d import _synthetic_state_dict
 
@@ -429,6 +429,21 @@ def test_extract_cli_i3d_both_matches_single_stream_runs(tmp_path, capsys):
           "--i3d_stream", "both", "--i3d_weights", w["rgb"],
           "--i3d_flow_weights", w["flow"]])
     assert "extracted 0 videos (1 skipped)" in capsys.readouterr().out
+
+    # per-file skip (round-5 review finding): a missing sibling forces a
+    # recompute but must NOT clobber the existing output without --overwrite
+    sentinel = np.full((1, 1024), 7.0, np.float32)
+    np.save(tmp_path / "both_rgb" / "a.npy", sentinel)
+    (tmp_path / "both_flow" / "a.npy").unlink()
+    main(["--videos", str(vid_dir), "--out", str(tmp_path / "both_rgb"),
+          "--out_flow", str(tmp_path / "both_flow"), "--feat_type", "I3D",
+          "--i3d_stream", "both", "--i3d_weights", w["rgb"],
+          "--i3d_flow_weights", w["flow"]])
+    np.testing.assert_array_equal(
+        np.load(tmp_path / "both_rgb" / "a.npy"), sentinel)
+    np.testing.assert_array_equal(
+        np.load(tmp_path / "both_flow" / "a.npy"),
+        np.load(tmp_path / "solo_flow" / "a.npy"))
 
     # missing --out_flow / --i3d_flow_weights fail loudly
     with pytest.raises(SystemExit, match="out_flow"):

@@ -134,11 +134,18 @@ def main(argv=None) -> None:
         out_paths = [out_dir / f"{vp.stem}.npy"]
         if both:
             out_paths.append(out_flow_dir / f"{vp.stem}.npy")
-        if all(p.exists() for p in out_paths) and not args.overwrite:
+        # per-file skip: without --overwrite an existing output is never
+        # rewritten, even when its sibling stream is missing and the video
+        # has to be recomputed
+        targets = (out_paths if args.overwrite
+                   else [p for p in out_paths if not p.exists()])
+        if not targets:
             skipped += 1
             continue
         feats = video_feats(vp) if both else [video_feats(vp)]
         for out_path, f in zip(out_paths, feats):
+            if out_path not in targets:
+                continue
             np.save(out_path, f.astype(np.float32))
             print(f"{vp.name}: {f.shape} -> {out_path}")
         done += 1
@@ -183,43 +190,32 @@ def _make_i3d_encoder(args):
 
     if args.i3d_stream == "both":
         # one pass: decode + geometric transform ONCE per video, then both
-        # towers. Bit-identical to two single-stream runs (the shared crop
-        # is exactly what preprocess_i3d_frames/_flow each start from).
+        # towers. Bit-identical to two single-stream runs — the shared crop
+        # is exactly what preprocess_i3d_frames/_flow each start from, and
+        # the scaling/flow formulas are the same shared helpers.
         if args.i3d_flow_weights is None:
             raise SystemExit("--i3d_stream both needs --i3d_flow_weights "
                              "(Kinetics InceptionI3d FLOW state dict)")
-        from vct_tpu.i3d.flow import FLOW_TRUNCATE, estimate_flow
-        from vct_tpu.i3d.model import resize_center_crop
+        from vct_tpu.i3d import flow_from_cropped, resize_center_crop, scale_i3d_frames
 
         params_rgb, params_flow = load(args.i3d_weights), load(args.i3d_flow_weights)
 
         def video_feats(vp):
             frames = sample_frames(str(vp), "fix_1")  # every frame
             cropped = resize_center_crop(frames)
-            if len(cropped) < 2:  # degenerate 1-frame video: zero flow field
-                cropped_f = np.concatenate([cropped, cropped])
-            else:
-                cropped_f = cropped
-            rgb_in = cropped.astype(np.float32) / 127.5 - 1.0
-            flow_in = np.clip(estimate_flow(cropped_f), -FLOW_TRUNCATE,
-                              FLOW_TRUNCATE) / FLOW_TRUNCATE
-            return (tower_feats(params_rgb, rgb_in),
-                    tower_feats(params_flow, flow_in))
+            return (tower_feats(params_rgb, scale_i3d_frames(cropped)),
+                    tower_feats(params_flow, flow_from_cropped(cropped)))
 
         return video_feats
 
     params = load(args.i3d_weights)
-    is_flow = args.i3d_stream == "flow"
-    prep = preprocess_i3d_flow if is_flow else preprocess_i3d_frames
+    prep = (preprocess_i3d_flow if args.i3d_stream == "flow"
+            else preprocess_i3d_frames)
 
     def video_feats(vp) -> np.ndarray:
-        frames = sample_frames(str(vp), "fix_1")  # every frame
-        if is_flow and len(frames) < 2:
-            # estimate_flow needs two frames; duplicating the single frame
-            # yields an exactly-zero flow field, the same degenerate-video
-            # tolerance i3d_stacks' frame looping gives the RGB arm.
-            frames = np.concatenate([frames, frames])
-        return tower_feats(params, prep(frames))
+        # degenerate 1-frame videos are handled inside the preprocessors
+        # (flow_from_cropped duplicates the frame; i3d_stacks loops frames)
+        return tower_feats(params, prep(sample_frames(str(vp), "fix_1")))
 
     return video_feats
 

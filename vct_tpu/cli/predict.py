@@ -167,19 +167,15 @@ def predict(cfg, args, log=print) -> str:
         tower = I3DTower()
         jitted = jax.jit(lambda p, clips: tower.apply({"params": p}, clips))
         frames = sample_frames(args.video, "fix_1")
-        frames_for = {"rgb": frames, "flow": frames}
-        if "flow" in streams and len(frames) < 2:
-            # estimate_flow needs two frames; duplicating the single frame
-            # yields an exactly-zero flow field — the same degenerate-video
-            # tolerance as extract.py and i3d_stacks' frame looping.
-            frames_for["flow"] = np.concatenate([frames, frames])
         feats = []
         weights = {"rgb": args.i3d_weights, "flow": args.i3d_flow_weights}
+        # degenerate 1-frame videos are handled inside the preprocessors
+        # (flow_from_cropped duplicates the frame; i3d_stacks loops frames)
         prep = {"rgb": preprocess_i3d_frames, "flow": preprocess_i3d_flow}
         for stream in streams:
             params = jax.tree_util.tree_map(
                 jnp.asarray, convert_i3d(load_i3d_state_dict(weights[stream])))
-            clips = i3d_stacks(prep[stream](frames_for[stream]))
+            clips = i3d_stacks(prep[stream](frames))
             stacked = np.concatenate(
                 [np.asarray(jitted(params, clips[i:i + 1]))
                  for i in range(len(clips))])

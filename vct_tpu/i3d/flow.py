@@ -46,10 +46,21 @@ def estimate_flow(frames: np.ndarray) -> np.ndarray:
     return out
 
 
-def preprocess_i3d_flow(frames: np.ndarray) -> np.ndarray:
-    """uint8 RGB [T, H, W, 3] -> float32 [T-1, 224, 224, 2] in [-1, 1]:
-    geometric transform, flow estimation, +/-20 px truncation, /20 rescale —
-    ready for ``i3d_stacks`` (C=2) and the flow-weight ``I3DTower``."""
-    cropped = resize_center_crop(frames)
+def flow_from_cropped(cropped: np.ndarray) -> np.ndarray:
+    """Cropped uint8 frames [T, 224, 224, 3] -> float32 scaled flow
+    [max(T-1, 1), 224, 224, 2] in [-1, 1]: flow estimation, +/-20 px
+    truncation, /20 rescale. Tolerates T == 1 by duplicating the frame
+    (a near-zero flow field — Farneback leaves ~0.05 px numerical residue
+    on identical frames) — the degenerate-video tolerance lives HERE so no
+    flow consumer can forget it and crash on 1-frame videos."""
+    if len(cropped) < 2:
+        cropped = np.concatenate([cropped, cropped])
     flow = estimate_flow(cropped)
     return np.clip(flow, -FLOW_TRUNCATE, FLOW_TRUNCATE) / FLOW_TRUNCATE
+
+
+def preprocess_i3d_flow(frames: np.ndarray) -> np.ndarray:
+    """uint8 RGB [T, H, W, 3] -> float32 [max(T-1, 1), 224, 224, 2] in
+    [-1, 1]: geometric transform then ``flow_from_cropped`` — ready for
+    ``i3d_stacks`` (C=2) and the flow-weight ``I3DTower``."""
+    return flow_from_cropped(resize_center_crop(frames))

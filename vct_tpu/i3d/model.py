@@ -188,11 +188,18 @@ def resize_center_crop(frames: np.ndarray) -> np.ndarray:
     return out
 
 
+def scale_i3d_frames(cropped: np.ndarray) -> np.ndarray:
+    """Cropped uint8 [T, 224, 224, 3] -> float32 in [-1, 1] — the I3D RGB
+    scaling, split from the geometric transform so one-pass extractors can
+    crop once and feed both streams (single source of the /127.5-1 formula)."""
+    return cropped.astype(np.float32) / 127.5 - 1.0
+
+
 def preprocess_i3d_frames(frames: np.ndarray) -> np.ndarray:
     """uint8 RGB [T, H, W, 3] -> float32 [T, 224, 224, 3] in [-1, 1]
     (video_features' I3D transform: resize short side to 256, center-crop
     224, scale to [-1, 1])."""
-    return resize_center_crop(frames).astype(np.float32) / 127.5 - 1.0
+    return scale_i3d_frames(resize_center_crop(frames))
 
 
 def i3d_stacks(frames: np.ndarray, stack: int = STACK_SIZE,

@@ -113,7 +113,12 @@ def dot_product_attention(
     ambient state and is consulted ONLY by models that set
     ``partition_kernels``; models that never opted in are unaffected by it.
     """
-    if use_pallas and _pallas_eligible(q, k, deterministic, return_weights):
+    # fast_math routes to the XLA path below, which honors it: the Pallas
+    # kernel keeps its fp32 softmax schedule, and silently ignoring the flag
+    # on kernel-eligible shapes would mix statistic precisions across the
+    # shape-dependent dispatch (same rule as the decode dispatch guard).
+    if (use_pallas and not fast_math
+            and _pallas_eligible(q, k, deterministic, return_weights)):
         from vct_tpu.ops.pallas_attention import (
             fused_attention_trainable,
             fused_attention_trainable_sharded,

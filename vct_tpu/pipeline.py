@@ -56,9 +56,11 @@ def make_video_caption_fn(
         masks = [jnp.zeros((n, t), bool)]
         if beam_size > 1:
             # fused beam kernels when eligible (same rules as the eval
-            # path's make_auto_beam_fn — the shape checks are static here)
+            # path's make_auto_beam_fn — the shape checks are static here;
+            # fast_numerics keeps decode on the module graph, see decode.py)
             if (
                 model.tpu.use_pallas_attention
+                and not model.tpu.fast_numerics
                 and jax.default_backend() == "tpu"
             ):
                 from vct_tpu.decode_fast import (
@@ -82,6 +84,7 @@ def make_video_caption_fn(
         if (
             not collect_attn
             and model.tpu.use_pallas_attention
+            and not model.tpu.fast_numerics
             and jax.default_backend() == "tpu"
         ):
             from vct_tpu.decode_fast import (
