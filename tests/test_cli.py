@@ -294,3 +294,36 @@ def test_eval_cli_metrics_out(workspace, tmp_path):
     assert all(isinstance(v, float) for k, v in metrics.items()
                if not k.startswith("_"))
     assert "NOT WordNet" in metrics["_meteor_synonyms"]
+
+
+def test_pad_id_wired_from_tokenizer(tmp_path):
+    """A vocab whose [PAD] is NOT index 0 must drive the model's pad_id
+    (the reference takes it from the tokenizer's [PAD] lookup,
+    model/MMT4Caption.py:38) — otherwise loss masking and decode padding
+    silently use the wrong token (round-5 review finding)."""
+    from vct_tpu.cli.common import make_trainer_pieces
+    from vct_tpu.config import load_config
+
+    # [PAD] deliberately at index 3
+    (tmp_path / "vocab.txt").write_text(
+        "\n".join(["[UNK]", "[CLS]", "[SEP]", "[PAD]", "[MASK]",
+                   "a", "thing", "moves"]))
+    cfg = {
+        "model": {"modal": ["CLIP4Clip"], "modal_shape": [16], "embed_dim": 32,
+                  "dropout": 0.0,
+                  "video_encoder": {"layer": 1, "nhead": 2, "feedforward": 64,
+                                    "mme": {"temporal": "encoding",
+                                            "aggregation": "avg"}},
+                  "caption_decoder": {"layer": 1, "nhead": 2,
+                                      "feedforward": 64}},
+        "tpu": {"max_frames": 4, "max_caption_len": 8, "dtype": "float32",
+                "mesh_data": 1, "vocab_path": str(tmp_path / "vocab.txt")},
+    }
+    import json as _json
+
+    (tmp_path / "c.json").write_text(_json.dumps(cfg))
+    model, tokenizer, variables = make_trainer_pieces(
+        load_config(str(tmp_path / "c.json")))
+    assert tokenizer.pad_id == 3
+    assert model.config.pad_id == 3
+    assert model.config.vocab_size == tokenizer.vocab_size

@@ -659,3 +659,37 @@ def test_multi_step_l_view_violation_poisons_tokens(rng):
 
     assert (window(1) >= 0).all()   # (1+1)*4 = 8 <= l_view: real tokens
     assert (window(2) == -1).all()  # (2+1)*4 = 12 > l_view: poisoned
+
+
+def test_nonzero_pad_id_derived_from_model(rng):
+    """pad_id flows from the model config (round-5 review finding: the fused
+    loop zeroed the CALLER's pad_id — default 0 — while the module graph
+    zeroes the model's, so configs with [PAD] != 0 broke the token-exact
+    dispatch invariant). Greedy and beam, module vs fused, NO explicit
+    pad_id anywhere; end_id=7 lets rows finish so the config pad fills the
+    greedy tail and beam embeds frozen-beam pad tokens."""
+    import dataclasses
+
+    from vct_tpu.decode import beam_generate
+    from vct_tpu.decode_fast import beam_generate_fused
+
+    base = _model()
+    model = type(base)(dataclasses.replace(base.config, pad_id=5), base.tpu,
+                       dtype=base.dtype)
+    assert model.config.pad_id == 5
+    feats, masks, variables = _init(model, rng)
+
+    ref, _ = greedy_generate(
+        model, variables, feats, masks, max_len=MAX_LEN, start_id=2, end_id=7)
+    fused, _ = greedy_generate_fused(
+        model, variables, feats, masks, max_len=MAX_LEN, start_id=2, end_id=7,
+        block_b=2, block_v=256, interpret=True)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+    bref, _ = beam_generate(
+        model, variables, feats, masks, beam_size=2, max_len=MAX_LEN,
+        start_id=2, end_id=7)
+    bfused, _ = beam_generate_fused(
+        model, variables, feats, masks, beam_size=2, max_len=MAX_LEN,
+        start_id=2, end_id=7, block_b=2, block_v=256, interpret=True)
+    np.testing.assert_array_equal(np.asarray(bfused), np.asarray(bref))

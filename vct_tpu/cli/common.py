@@ -51,10 +51,15 @@ def make_trainer_pieces(cfg: Config):
 
     tokenizer = make_tokenizer(cfg.tpu.vocab_path, cfg.model.tokenizer)
     model_cfg = cfg.model
-    if model_cfg.vocab_size != tokenizer.vocab_size:
+    if (model_cfg.vocab_size != tokenizer.vocab_size
+            or model_cfg.pad_id != tokenizer.pad_id):
         import dataclasses
 
-        model_cfg = dataclasses.replace(model_cfg, vocab_size=tokenizer.vocab_size)
+        # pad_id from the tokenizer's [PAD] lookup, like the reference
+        # (model/MMT4Caption.py:38) — see Trainer.__init__
+        model_cfg = dataclasses.replace(
+            model_cfg, vocab_size=tokenizer.vocab_size,
+            pad_id=tokenizer.pad_id)
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cfg.tpu.dtype]
     model = MMT4Caption(model_cfg, cfg.tpu, dtype=dtype)
 

@@ -261,6 +261,12 @@ class ModelConfig:
     pretrained_model: Optional[str] = None
     # vocab size of the BERT WordPiece tokenizer; overridable for tests.
     vocab_size: int = 30522
+    # [PAD] token id. The reference takes it from the tokenizer
+    # (model/MMT4Caption.py:38 <- CapPreprocessor's "[PAD]" lookup); 0 for
+    # bert-base-uncased. Trainer/make_trainer_pieces overwrite it with the
+    # actual tokenizer's pad id so custom vocabs with [PAD] elsewhere keep
+    # loss masking and decode-pad embedding consistent end to end.
+    pad_id: int = 0
 
     @property
     def num_modal(self) -> int:
@@ -282,6 +288,7 @@ class ModelConfig:
             caption_decoder=CaptionDecoderConfig.from_dict(_get(d, "caption_decoder", {})),
             pretrained_model=d.get("pretrained_model"),
             vocab_size=int(_get(d, "vocab_size", 30522)),
+            pad_id=int(_get(d, "pad_id", 0)),
         )
 
 

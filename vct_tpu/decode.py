@@ -47,7 +47,7 @@ def greedy_generate(
     max_len: int = 30,
     start_id: int = 101,
     end_id: int = 102,
-    pad_id: int = 0,
+    pad_id: Optional[int] = None,
     collect_attn: bool = False,
 ):
     """-> (tokens [B, max_len] int32, attn or None).
@@ -56,6 +56,11 @@ def greedy_generate(
     of each generated token — the introspection ``predict_video.py:43-79``
     monkey-patches for.
     """
+    if pad_id is None:
+        # the model's configured [PAD] id (wired from the tokenizer by the
+        # Trainer/make_trainer_pieces) — both decode paths must zero the
+        # SAME token's embedding or the fused/module dispatch diverges
+        pad_id = model.config.pad_id
     memory, mem_mask, _ = model.apply(
         variables, list(video_feats), list(video_masks) if video_masks else None,
         method=MMT4Caption.encode,
@@ -134,7 +139,7 @@ def beam_generate(
     max_len: int = 30,
     start_id: int = 101,
     end_id: int = 102,
-    pad_id: int = 0,
+    pad_id: Optional[int] = None,
     length_penalty: float = 0.6,
 ):
     """Fixed-width beam search -> (tokens [B, max_len], scores [B]).
@@ -144,6 +149,8 @@ def beam_generate(
     Final selection maximizes score / length**length_penalty (GNMT-style;
     ``length_penalty=0`` reduces to raw log-prob).
     """
+    if pad_id is None:
+        pad_id = model.config.pad_id  # see greedy_generate
     k = beam_size
     memory, mem_mask, _ = model.apply(
         variables, list(video_feats), list(video_masks) if video_masks else None,

@@ -2,7 +2,18 @@
 
 Same semantics as ``vct_tpu.decode.greedy_generate`` (token-exact; asserted by
 ``tests/test_pallas_decode.py``), but the while-loop body runs on the
-``vct_tpu.ops.pallas_decode`` kernels. Large batches (> 64): ONE fused kernel
+``vct_tpu.ops.pallas_decode`` kernels.
+
+Exactness scope (measured, round 5): the interpret-mode pins run the same
+float schedule as the module graph, so they catch any LOGIC divergence. On
+real hardware the Mosaic kernels and XLA's fusions accumulate matmuls in
+different orders, so argmax near-ties can flip: a random-init model (whose
+top-2 logit gaps are ~ULP-sized) flipped 2-6% of tokens vs the module path
+on a v5e, while a TRAINED model (real logit margins) decoded 0/80 tokens
+different on the same chip on BOTH kernel paths — and the two fused paths
+agree with each other in all cases. Production decode of converted/trained
+checkpoints is token-exact in practice; bit-identity across different
+hardware schedules is not a thing any framework can promise. Large batches (> 64): ONE fused kernel
 for the whole decoder stack (per layer: QKV + in-place cache write +
 self/cross attention + norms + FFN, statically unrolled over layers) plus one
 vocab-tiled LayerNorm+generator+argmax kernel — 2 device kernels per token.
@@ -26,6 +37,8 @@ import jax.numpy as jnp
 
 from vct_tpu.models.mmt4caption import MMT4Caption
 from vct_tpu.ops.pallas_decode import (
+    NEG_INF,
+    _round_up,
     fused_layers_step,
     fused_norm_generator_argmax,
     fused_norm_generator_topk,
@@ -33,11 +46,9 @@ from vct_tpu.ops.pallas_decode import (
     fused_whole_step,
 )
 
-NEG_INF = -1e30
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+# NEG_INF is the kernels' mask sentinel: the mem_bias/frozen-beam arithmetic
+# here MUST use the same value the kernels use for exact-zero softmax
+# underflow (the l_view staging bit-exactness argument), hence the import.
 
 
 def pick_block_b(b: int):
@@ -295,7 +306,7 @@ def greedy_generate_fused(
     max_len: int = 30,
     start_id: int = 101,
     end_id: int = 102,
-    pad_id: int = 0,
+    pad_id: Optional[int] = None,
     block_b: Optional[int] = None,
     block_v: int = 1024,
     single_kernel: Optional[bool] = None,
@@ -321,10 +332,20 @@ def greedy_generate_fused(
     (``ops.pallas_decode.fused_sequence_decode``): weights fetched into
     VMEM once, KV caches in VMEM scratch, one embedding-group DMA per
     token."""
+    if pad_id is None:
+        # the model's configured [PAD] id — the fused loop must zero the
+        # SAME token's embedding row the module graph zeroes
+        # (models/decoder.py ``tokens == self.pad_id``) or the auto
+        # dispatch's token-exactness invariant breaks for pad_id != 0
+        pad_id = model.config.pad_id
     b_in = video_feats[0].shape[0]
     if multi_step:
         if sequence_kernel:
             raise ValueError("multi_step and sequence_kernel are exclusive")
+        if single_kernel:
+            # reject rather than silently drop the request: the multi-step
+            # path has its own fused kernel and no single-kernel variant
+            raise ValueError("multi_step and single_kernel are exclusive")
         kw = {} if block_b is None else {"block_b": block_b}
         return greedy_generate_multi(
             model, variables, video_feats, video_masks, max_len=max_len,
@@ -343,6 +364,9 @@ def greedy_generate_fused(
             raise ValueError(
                 f"sequence kernel is a single batch tile (B <= 32), got {b_in}"
             )
+        if block_b is not None or single_kernel:
+            raise ValueError("sequence_kernel runs one fixed batch tile; "
+                             "block_b/single_kernel do not apply")
         fw, cks, cvs, mem_bias = _prep_decode(
             model, variables, video_feats, video_masks,
             max_len=max_len, block_v=block_v,
@@ -384,7 +408,7 @@ def greedy_generate_fused_sharded(
     max_len: int = 30,
     start_id: int = 101,
     end_id: int = 102,
-    pad_id: int = 0,
+    pad_id: Optional[int] = None,
     block_b: Optional[int] = None,
     block_v: int = 1024,
     single_kernel: Optional[bool] = None,
@@ -406,6 +430,8 @@ def greedy_generate_fused_sharded(
     ``axis``. Beats: the reference's rank-0-only eval decode
     (``/root/reference/train.py:248-249``).
     """
+    if pad_id is None:
+        pad_id = model.config.pad_id  # see greedy_generate_fused
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -497,7 +523,7 @@ def beam_generate_fused(
     max_len: int = 30,
     start_id: int = 101,
     end_id: int = 102,
-    pad_id: int = 0,
+    pad_id: Optional[int] = None,
     length_penalty: float = 0.6,
     block_b: Optional[int] = None,
     block_v: int = 1024,
@@ -511,13 +537,20 @@ def beam_generate_fused(
     costs ONE ``fused_layers_step`` launch over the [B*K] flattened beams
     plus ONE ``fused_norm_generator_topk`` launch — the [B*K, vocab]
     log-softmax never materializes in HBM. The global top-k over k*V
-    candidates is recovered exactly from the per-beam top-k logits +
+    candidates is recovered structurally from the per-beam top-k logits +
     logsumexp: scores are per-beam constants, so every globally-selected
-    candidate is one of its beam's k best logits. Beam bookkeeping (the
+    candidate is one of its beam's k best logits. One honesty caveat: the
+    kernel's per-tile-rescaled logsumexp rounds differently from
+    ``jax.nn.log_softmax``'s single-pass reduction, so CROSS-beam candidates
+    within ~1 ULP of each other could in principle rank oppositely on the
+    two paths — the token-exactness the tests pin is empirical over their
+    seeds, not a floating-point identity. Beam bookkeeping (the
     [B, K, K] candidate merge and the self-cache regather) stays in XLA.
     Covers ``/root/reference/model/MMT4Caption.py:186-187`` (an empty stub
     upstream) at production speed.
     """
+    if pad_id is None:
+        pad_id = model.config.pad_id  # see greedy_generate_fused
     k = beam_size
     b_feat = video_feats[0].shape[0]
     block_b, _ = _resolve_tiling(b_feat * k, block_b, False)
@@ -698,7 +731,7 @@ def beam_generate_fused_sharded(
     max_len: int = 30,
     start_id: int = 101,
     end_id: int = 102,
-    pad_id: int = 0,
+    pad_id: Optional[int] = None,
     length_penalty: float = 0.6,
     block_b: Optional[int] = None,
     block_v: int = 1024,
@@ -713,6 +746,8 @@ def beam_generate_fused_sharded(
     from jax.sharding import PartitionSpec as P
 
     n = mesh.shape[axis]
+    if pad_id is None:
+        pad_id = model.config.pad_id  # see greedy_generate_fused
     k = beam_size
     b_in = video_feats[0].shape[0]
     if b_in % n:
@@ -796,7 +831,7 @@ def greedy_generate_multi(
     max_len: int = 30,
     start_id: int = 101,
     end_id: int = 102,
-    pad_id: int = 0,
+    pad_id: Optional[int] = None,
     unroll: int = 4,
     block_b: int = 32,
     block_v: int = 1024,
@@ -824,6 +859,8 @@ def greedy_generate_multi(
     wide ones, and that costs more than the launch amortization saves.
     u=8 overflows the relay-side compiler. Stays opt-in (``multi_step=``);
     the auto dispatch never picks it for wide batches."""
+    if pad_id is None:
+        pad_id = model.config.pad_id  # see greedy_generate_fused
     from vct_tpu.ops.pallas_decode import fused_multi_step, group_embed_rows
 
     b = video_feats[0].shape[0]

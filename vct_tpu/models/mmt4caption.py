@@ -103,7 +103,7 @@ class MMT4Caption(nn.Module):
             dim_feedforward=cfg.caption_decoder.feedforward,
             dropout_rate=cfg.dropout,
             vocab_size=cfg.vocab_size,
-            pad_id=0,
+            pad_id=cfg.pad_id,
             sce_loss_alpha=cfg.caption_decoder.sce_loss_alpha,
             activation=cfg.activation,
             quirk_no_memory_mask=self.tpu.quirk_no_memory_mask_in_decoder,

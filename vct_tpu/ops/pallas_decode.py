@@ -70,6 +70,16 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _head_selectors(e: int, heads: int):
+    """(sel [E, H], selt [H, E]) head-indicator matmul matrices for the
+    packed-QKV [h, d] layout (see ``_attend_single_query``). ONE source of
+    truth — the attention head split in every kernel wrapper depends on
+    this exact construction matching the packed layout."""
+    lane = jnp.arange(e) // (e // heads)
+    sel = (lane[:, None] == jnp.arange(heads)[None, :]).astype(jnp.float32)
+    return sel, sel.T
+
+
 def _erf(x):
     """Abramowitz-Stegun 7.1.26 rational erf (max abs err 1.5e-7)."""
     a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
@@ -228,10 +238,7 @@ def fused_layer_step(
     grid = (b // bt,)
     d = e // heads
 
-    # head-indicator matrices (see _attend_single_query)
-    lane = jnp.arange(e) // d
-    sel = (lane[:, None] == jnp.arange(heads)[None, :]).astype(jnp.float32)
-    selt = sel.T
+    sel, selt = _head_selectors(e, heads)
 
     use_mem_bias = mem_bias is not None
     if mem_bias is None:
@@ -444,9 +451,7 @@ def _stack_call_parts(x, k_cache, v_cache, ck, cv, mem_bias, stacked, idx,
     assert e % heads == 0
     d = e // heads
 
-    lane = jnp.arange(e) // d
-    sel = (lane[:, None] == jnp.arange(heads)[None, :]).astype(jnp.float32)
-    selt = sel.T
+    sel, selt = _head_selectors(e, heads)
 
     use_mem_bias = mem_bias is not None
     if mem_bias is None:
@@ -500,6 +505,11 @@ def _stack_call_parts(x, k_cache, v_cache, ck, cv, mem_bias, stacked, idx,
         "in_specs": in_specs, "operands": operands,
         "row_spec": row_spec, "const_spec": const_spec,
         "row_out_spec": row_out_spec,
+        # effective cache window (l_view or full L): callers poison their
+        # output when idx >= this — past the window the kernel's pos iota
+        # never matches idx, the fresh token's K/V silently drops out of
+        # self-attention, and the result would be plausible-but-wrong
+        "l": l,
     }
 
 
@@ -551,7 +561,7 @@ def fused_layers_step(
         jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
     )
     kernel = functools.partial(_layers_step_kernel, heads=heads, nl=p["nl"])
-    return pl.pallas_call(
+    x_out, ks, vs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
@@ -561,6 +571,11 @@ def fused_layers_step(
         ),
         interpret=interpret,
     )(*p["operands"])
+    # contract guard (same protection fused_multi_step has): idx must lie
+    # inside the staged window or the fresh token's K/V was dropped —
+    # poison to NaN so a violation is unmissable instead of plausible.
+    x_out = jnp.where(idx < p["l"], x_out, jnp.nan)
+    return x_out, ks, vs
 
 
 def fused_whole_step(
@@ -626,6 +641,9 @@ def fused_whole_step(
         *p["operands"],
         weights["norm_s"], weights["norm_b"], weights["wg"], weights["bg"],
     )
+    # contract guard: see fused_layers_step — poison tokens to -1 (the same
+    # sentinel fused_multi_step uses) when idx falls outside the window
+    tok = jnp.where(idx < p["l"], tok, jnp.int32(-1))
     return tok[:, 0], ks, vs
 
 
@@ -744,15 +762,17 @@ def fused_norm_generator_topk(
             pl.BlockSpec((bt, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, e), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, k), jnp.float32),
             jax.ShapeDtypeStruct((b, k), jnp.int32),
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, e), jnp.float32),
         ),
+        # yn only carries the LayerNorm result across the vocab tiles of one
+        # batch tile (refreshed at j==0): VMEM scratch, not an HBM output —
+        # as an output it cost a [bt, e] fp32 writeback per batch tile
+        scratch_shapes=[pltpu.VMEM((bt, e), jnp.float32)],
         interpret=interpret,
     )(x, norm_scale, norm_bias, wg, bg)
     topv, topi, m, s = out[0], out[1], out[2], out[3]
@@ -818,19 +838,16 @@ def fused_norm_generator_argmax(
             pl.BlockSpec((e, block_v), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_v,), lambda i, j: (j,), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((bt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, e), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, 1), jnp.int32),
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, e), jnp.float32),
-        ),
+        out_specs=pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        # best (running max) and yn (LayerNorm carry) are pure per-batch-tile
+        # state: VMEM scratch, not HBM outputs (see fused_norm_generator_topk)
+        scratch_shapes=[pltpu.VMEM((bt, 1), jnp.float32),
+                        pltpu.VMEM((bt, e), jnp.float32)],
         interpret=interpret,
     )(x, norm_scale, norm_bias, wg, bg)
-    return out[0][:, 0]
+    return out[:, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -1020,9 +1037,7 @@ def fused_sequence_decode(
     v_pad = weights["wg"].shape[1]
     l_pad = _round_up(max_len, 8)
 
-    lane = jnp.arange(e) // d
-    sel = (lane[:, None] == jnp.arange(heads)[None, :]).astype(jnp.float32)
-    selt = sel.T
+    sel, selt = _head_selectors(e, heads)
 
     assert pe.shape[0] >= l_pad, (
         f"pe needs >= round_up(max_len, 8) = {l_pad} rows, got {pe.shape[0]}")
@@ -1327,9 +1342,7 @@ def fused_multi_step(
 
     emb3 = emb if emb.ndim == 3 else group_embed_rows(emb)
 
-    lane = jnp.arange(e) // d
-    sel = (lane[:, None] == jnp.arange(heads)[None, :]).astype(jnp.float32)
-    selt = sel.T
+    sel, selt = _head_selectors(e, heads)
 
     def row_spec(cols):
         return pl.BlockSpec((bt, cols), lambda i, _s: (i, 0),

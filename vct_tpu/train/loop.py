@@ -102,6 +102,11 @@ class Trainer:
         model_cfg = cfg.model
         if model_cfg.vocab_size != self.tokenizer.vocab_size:
             model_cfg = dataclasses.replace(model_cfg, vocab_size=self.tokenizer.vocab_size)
+        if model_cfg.pad_id != self.tokenizer.pad_id:
+            # the reference wires pad_id from the tokenizer's [PAD] lookup
+            # (model/MMT4Caption.py:38); keep loss masking + decode padding
+            # consistent for vocabs where [PAD] is not index 0
+            model_cfg = dataclasses.replace(model_cfg, pad_id=self.tokenizer.pad_id)
 
         # the mesh decides kernel/loss dispatch below, so build it first —
         # an explicitly-passed mesh must behave exactly like the same shape
