@@ -58,6 +58,10 @@ def test_plateau_schedule_matches_torch():
     # decay placement, SGD's momentum buffer init) on a deterministic
     # non-quadratic loss, through build_optimizer (freeze labels included)
     ("adamw", {"weight_decay": 0.01}),
+    # reference dispatch: name 'adam' + weight_decay != 0 builds torch AdamW
+    # (train.py:22-31) — round-5 review found vct_tpu silently dropping the
+    # decay on this arm; the torch arm below mirrors the reference routing
+    ("adam", {"weight_decay": 0.01}),
     ("sgd", {"momentum": 0.9}),
 ])
 def test_optimizer_update_rule_matches_torch(name, kw):
@@ -74,6 +78,9 @@ def test_optimizer_update_rule_matches_torch(name, kw):
     c = torch.tensor(coef)
     topt = {"adamw": lambda: torch.optim.AdamW([p], lr=lr, betas=(0.9, 0.999),
                                                weight_decay=kw["weight_decay"]),
+            # what the reference actually builds for adam + wd != 0
+            "adam": lambda: torch.optim.AdamW([p], lr=lr, betas=(0.9, 0.999),
+                                              weight_decay=kw["weight_decay"]),
             "sgd": lambda: torch.optim.SGD([p], lr=lr,
                                            momentum=kw["momentum"])}[name]()
     t_traj = []

@@ -50,7 +50,9 @@ class Batch:
     vids: Tuple[str, ...]
     token_ids: Optional[np.ndarray] = None  # [B, S] int32
     token_mask: Optional[np.ndarray] = None  # [B, S] bool, True=pad
-    n_valid: int = 0  # rows that are real data (rest are fill)
+    # rows that are real data (rest are fill); None = every row is real
+    # (an explicit 0 means NO real rows — collate never builds one)
+    n_valid: Optional[int] = None
 
 
 def collate(

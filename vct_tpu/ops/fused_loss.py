@@ -170,7 +170,10 @@ def _pallas_block_n(n: int, e: int, dtype, bwd: bool) -> int:
     dt = jnp.dtype(dtype).itemsize
     bn = min(_PALLAS_BLOCK_N, _round_up(n, 16))
     while bn > 16 and _pallas_vmem_est(bn, e, dt, bwd) > _PALLAS_VMEM_BUDGET:
-        bn //= 2
+        # keep 16-row (bf16 sublane) alignment while shrinking: plain
+        # halving of a non-power-of-two bn (e.g. 272 -> 136) would hand
+        # Mosaic a misaligned row tile and fail at lowering
+        bn = max(_round_up(bn // 2, 16), 16)
     return bn
 
 # Test hook: run the Mosaic kernels in interpreter mode on any backend so the
@@ -183,9 +186,13 @@ def _pallas_ok(use_pallas: bool, x, wg, dtype) -> bool:
     the kernel must actually pay. Tiny N (tests, B=1 decode-side losses),
     big N (the dz-materialization tax outgrows the VPU-overlap win past
     ~_PALLAS_MAX_N rows — measured, see the constant's comment) and CPU
-    runs ride the XLA scans; meshes are handled by the Trainer, which only
-    sets use_pallas on single-device meshes (Mosaic kernels are
-    single-device programs)."""
+    runs ride the XLA scans. Meshes are handled by the Trainer: on a
+    multi-device mesh the kernels either run per-shard under shard_map
+    over 'data' (tpu.pallas_partition_kernels ->
+    ``linear_sce_parts_sharded``; this gate then sees the PER-SHARD row
+    count) or use_pallas is disabled in favor of the GSPMD-shardable
+    scans — a bare single-device pallas_call cannot be auto-partitioned
+    inside a multi-device jit."""
     if not use_pallas:
         return False
     return (
@@ -220,6 +227,23 @@ def _pallas_pad_args(x, wg, bg, labels, dtype, *, bwd=False):
     return x_dt, w_dt, b_dt, labels[:, None], block_n, n_pad
 
 
+def _ce_parts(lse, zt, keep_ce):
+    """CE sum/count from the softmax stats — shared kernel/scan epilogue."""
+    ce = lse - zt
+    return jnp.sum(ce * keep_ce), jnp.sum(keep_ce)
+
+
+def _rce_parts(sa, cnt, v, zt, lse, m_rce):
+    """Reverse-CE sum/count from the clipped-prob stats (reference
+    ``model/loss.py`` SCE clip semantics) — ONE copy of the clip formula so
+    the kernel and scan paths cannot silently diverge."""
+    s_clip = sa + _EPS * (jnp.float32(v) - cnt)  # pad columns excluded
+    pt = jnp.exp(zt - lse)
+    pt_clip = jnp.maximum(pt, _EPS)
+    rce = -_LOG_OFF * (s_clip - pt_clip)
+    return jnp.sum(rce * m_rce), jnp.sum(m_rce)
+
+
 def _pallas_fwd_impl(x, wg, bg, labels, keep_ce, m_rce, dtype, with_rce,
                      interpret=None):
     """Same contract as _fwd_impl (z_stack residual slot is always None)."""
@@ -236,9 +260,7 @@ def _pallas_fwd_impl(x, wg, bg, labels, keep_ce, m_rce, dtype, with_rce,
     m, s, zt = m[:n, 0], s[:n, 0], zt[:n, 0]
     lse = m + jnp.log(s)
 
-    ce = lse - zt
-    ce_sum = jnp.sum(ce * keep_ce)
-    ce_n = jnp.sum(keep_ce)
+    ce_sum, ce_n = _ce_parts(lse, zt, keep_ce)
 
     if with_rce:
         lse_p = jnp.pad(lse, (0, n_pad - n))[:, None]
@@ -246,12 +268,7 @@ def _pallas_fwd_impl(x, wg, bg, labels, keep_ce, m_rce, dtype, with_rce,
             x_p, w_dt, b_dt, lse_p, block_n=block_n,
             block_v=_PALLAS_BLOCK_V, interpret=interpret)
         sa, cnt = sa[:n, 0], cnt[:n, 0]
-        s_clip = sa + _EPS * (jnp.float32(v) - cnt)  # pad columns excluded
-        pt = jnp.exp(zt - lse)
-        pt_clip = jnp.maximum(pt, _EPS)
-        rce = -_LOG_OFF * (s_clip - pt_clip)
-        rce_sum = jnp.sum(rce * m_rce)
-        rce_n = jnp.sum(m_rce)
+        rce_sum, rce_n = _rce_parts(sa, cnt, v, zt, lse, m_rce)
     else:
         sa = jnp.zeros((n,), jnp.float32)
         rce_sum = jnp.zeros(())
@@ -345,9 +362,7 @@ def _fwd_impl(x, wg, bg, labels, keep_ce, m_rce, dtype, block_v, with_rce,
     (m, s, zt), z_stack = jax.lax.scan(pass1, init, jnp.arange(n_chunks))
     lse = m + jnp.log(s)
 
-    ce = lse - zt
-    ce_sum = jnp.sum(ce * keep_ce)
-    ce_n = jnp.sum(keep_ce)
+    ce_sum, ce_n = _ce_parts(lse, zt, keep_ce)
 
     if with_rce:
         # pass 2: SA = sum of unclipped probs, cnt = #clipped (p <= eps);
@@ -369,12 +384,7 @@ def _fwd_impl(x, wg, bg, labels, keep_ce, m_rce, dtype, block_v, with_rce,
             (jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32)),
             z_stack if stash else jnp.arange(n_chunks),
         )
-        s_clip = sa + _EPS * (jnp.float32(v) - cnt)  # pad columns excluded
-        pt = jnp.exp(zt - lse)
-        pt_clip = jnp.maximum(pt, _EPS)
-        rce = -_LOG_OFF * (s_clip - pt_clip)
-        rce_sum = jnp.sum(rce * m_rce)
-        rce_n = jnp.sum(m_rce)
+        rce_sum, rce_n = _rce_parts(sa, cnt, v, zt, lse, m_rce)
     else:
         sa = jnp.zeros((n,), jnp.float32)
         rce_sum = jnp.zeros(())

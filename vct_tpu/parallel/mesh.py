@@ -41,6 +41,16 @@ def make_mesh(data: int = -1, model: int = 1, devices: Optional[Sequence] = None
         data = n // model
     if data * model > n:
         raise ValueError(f"mesh {data}x{model} needs {data*model} devices, have {n}")
+    if 1 < data * model < n:
+        # underuse is legal (-ws deliberately caps the mesh) but must not be
+        # silent — a config typo here halves throughput with no other signal
+        import warnings
+
+        warnings.warn(
+            f"mesh {data}x{model} uses {data * model} of {n} visible devices; "
+            f"the remaining {n - data * model} idle",
+            stacklevel=2,
+        )
     arr = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 

@@ -143,6 +143,15 @@ def _base_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     @optax.inject_hyperparams
     def make(learning_rate):
         if o.name == "adam":
+            if o.weight_decay:
+                # the reference dispatch: name 'adam' with weight_decay != 0
+                # builds torch.optim.AdamW (train.py:22-31) — decoupled
+                # decay, which optax.adamw matches (pinned vs torch in
+                # tests/test_train.py)
+                return optax.adamw(
+                    learning_rate, b1=o.beta[0], b2=o.beta[1],
+                    weight_decay=o.weight_decay,
+                )
             return optax.adam(learning_rate, b1=o.beta[0], b2=o.beta[1])
         if o.name == "adamw":
             return optax.adamw(

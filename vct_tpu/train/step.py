@@ -171,8 +171,12 @@ def batch_to_arrays(batch, text_encoder=None) -> Dict[str, Any]:
     out: Dict[str, Any] = {
         "feats": [jnp.asarray(f) for f in batch.feats],
         "masks": [jnp.asarray(m) for m in batch.masks],
-        # leading-rows-real mask (static shape: no recompile across batches)
-        "row_valid": jnp.asarray(np.arange(b) < (batch.n_valid or b)),
+        # leading-rows-real mask (static shape: no recompile across batches).
+        # None (not 0) means "all rows real": collate always sets n_valid>=1,
+        # and `or b` would silently count filler rows if a future constructor
+        # left the field at a falsy default.
+        "row_valid": jnp.asarray(
+            np.arange(b) < (b if batch.n_valid is None else batch.n_valid)),
     }
     if batch.token_ids is not None:
         out["token_ids"] = jnp.asarray(batch.token_ids)
