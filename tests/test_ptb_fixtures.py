@@ -88,6 +88,17 @@ FIXTURES = [
     ("an mp3 player in a 4x4", "an mp3 player in a 4x4", "alphanumeric words"),
     ("café costs 3.5 dollars", "café costs 3.5 dollars",
      "accented word kept; decimal number one token"),
+    # round-5 review: CoreNLP normalizes typographic Unicode punctuation,
+    # so curly apostrophes split contractions like ASCII ones and curly
+    # quotes / em-dashes / ellipses are dropped, not leaked into n-grams
+    ("don’t run", "do n't run", "curly apostrophe contraction"),
+    ("a “big” dog — running", "a big dog running",
+     "curly quotes and em-dash dropped"),
+    ("wait… now", "wait now", "unicode ellipsis dropped"),
+    ("it–goes", "it goes", "en-dash separates words"),
+    # archaic leading-apostrophe contractions reach the special-split table
+    ("'twas a dark night", "'t was a dark night", "PTB 'twas split"),
+    ("'Tis fine", "'t is fine", "PTB 'tis split, case-folded"),
 ]
 
 

@@ -7,6 +7,7 @@ with the same tiny/small smoothing constants.
 
 from __future__ import annotations
 
+import math
 from collections import Counter
 from typing import Dict, List, Tuple
 
@@ -88,6 +89,4 @@ class Bleu:
 
 
 def _safe_exp(x: float) -> float:
-    import math
-
     return math.exp(max(min(x, 700.0), -700.0))

@@ -37,9 +37,13 @@ _SPECIAL_SPLITS = {
 }
 
 _TOKEN = re.compile(
-    # decimal/grouped numbers FIRST (alternation is first-match): '3.5'
+    # archaic leading-apostrophe contractions FIRST so the special-split
+    # table can fire on them (a bare "'" would otherwise split off as punct
+    # and the ("'t", ...) PTB outputs could never be produced)
+    r"(?i:'t(?:is|was))\b"
+    # decimal/grouped numbers before words: '3.5'
     # must not split at the period the word pattern can't cross
-    r"\d+(?:[.,]\d+)+"
+    r"|\d+(?:[.,]\d+)+"
     # words: unicode letters AND digits ([^\W_] = \w minus underscore), so
     # '5th', 'mp3', '4x4' and accented words ('café') stay one token like
     # CoreNLP's PTBTokenizer; hyphenated compounds stay ONE token
@@ -48,6 +52,16 @@ _TOKEN = re.compile(
     r"|\.\.\.|--"  # multi-char punct
     r"|[^\w\s]"  # single punct
 )
+
+# CoreNLP's PTBTokenizer normalizes typographic Unicode punctuation before
+# tokenizing (quotes to ``/'', dashes to --); without this, a curly
+# apostrophe blocks contraction splitting and curly quotes leak into the
+# n-grams as tokens the coco filter never drops.
+_UNICODE_QUOTES = str.maketrans({
+    "‘": "'", "’": "'", "‚": "'", "‛": "'",
+    "“": '"', "”": '"', "„": '"', "‟": '"',
+})
+_UNICODE_SEPS = (("—", " -- "), ("–", " -- "), ("…", " ... "))
 
 
 # Stanford PTBTokenizer escapes brackets and converts straight quotes; the
@@ -71,6 +85,10 @@ def tokenize_caption(text: str) -> List[str]:
         ws = text.split(" ")
         if not any(w in _SPECIAL_SPLITS for w in ws):
             return ws
+    text = text.translate(_UNICODE_QUOTES)
+    for ch, repl in _UNICODE_SEPS:
+        if ch in text:
+            text = text.replace(ch, repl)
     out: List[str] = []
     for tok in _TOKEN.findall(text.replace("\n", " ")):
         if tok in _PTB_ESCAPES:
