@@ -251,3 +251,40 @@ def test_native_unknown_mode_raises(msvd_root):
     with pytest.raises(ValueError, match="unknown mode"):
         native_mod.collate_from_dataset(ds, [0, 1], batch_size=2,
                                         max_frames=T_FRAMES)
+
+
+def test_dropped_stem_not_sampleable_from_any_dir(tmp_path):
+    """Round-5 review: cap_vid_list must filter against the COMMON-stem set.
+    A stem present in feat_dirs[0] but missing from a later dir used to stay
+    sampleable (the filter checked dir0 only) and KeyError'd mid-epoch when
+    its features were loaded."""
+    rng = np.random.default_rng(5)
+    d0, d1 = tmp_path / "m0", tmp_path / "m1"
+    d0.mkdir(); d1.mkdir()
+    for i in range(3):
+        arr = rng.standard_normal((4, 8)).astype(np.float32)
+        np.save(d0 / f"v{i}.npy", arr)
+        if i > 0:  # v0 missing from the SECOND dir this time
+            np.save(d1 / f"v{i}.npy", arr)
+    ann = tmp_path / "ann.txt"
+    ann.write_text("\n".join(f"v{i} a caption" for i in range(3)))
+    with pytest.warns(UserWarning, match="v0"):
+        ds = MSVDDataset([str(d0), str(d1)], str(ann))
+    assert all(vid != "v0" for _, vid in ds.cap_vid_list)
+    # every remaining sample loads cleanly (this used to KeyError on v0)
+    for i in range(len(ds)):
+        feats, caption, vid = ds[i]
+        assert len(feats) == 2
+
+
+def test_build_dataset_unknown_name_raises(msvd_root):
+    from vct_tpu.data.datasets import build_dataset
+
+    cfg = SplitConfig(
+        feat_dir=(str(msvd_root / "feats"),),
+        annotation_path=str(msvd_root / "train.txt"),
+        dataset="msr-vtt",  # typo: silent MSRVTT fallback used to hide it
+        split_mode="train",
+    )
+    with pytest.raises(ValueError, match="unknown dataset"):
+        build_dataset(cfg)

@@ -315,6 +315,7 @@ def test_queue_full_503_unit():
     svc.max_queue = 1
     svc._stop = threading.Event()
     svc.stats = {"requests": 0, "batches": 0, "rejected": 0}
+    svc._stats_lock = threading.Lock()
     svc.cfg = SimpleNamespace(model=SimpleNamespace(modal_shape=[E_FEAT]))
     arr = np.zeros((T, E_FEAT), np.float32)
 

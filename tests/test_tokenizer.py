@@ -101,3 +101,21 @@ def test_wordpiece_parity_with_hf_bert_tokenizer(tmp_path):
     for text in cases:
         assert ours.tokenize(text) == theirs.tokenize(text), repr(text)
         assert ours.encode(text) == theirs.encode(text), repr(text)
+
+
+def test_make_tokenizer_case_heuristic(tmp_path):
+    """The vocab-file do_lower heuristic follows HF conventions: '-uncased'
+    lowers, '-cased' keeps case, and bert-base-chinese is ALSO cased (its HF
+    tokenizer_config sets do_lower_case=false) despite lacking the
+    substring (round-5 review finding)."""
+    from vct_tpu.text.tokenizer import make_tokenizer
+
+    vocab = tmp_path / "v.txt"
+    vocab.write_text("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+                                "Cat", "cat"]))
+    for name, lower in [("bert-base-uncased", True),
+                        ("bert-base-cased", False),
+                        ("bert-base-chinese", False),
+                        ("bert-base-multilingual-uncased", True)]:
+        tok = make_tokenizer(str(vocab), name)
+        assert tok.do_lower_case is lower, name

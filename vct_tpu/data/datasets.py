@@ -110,11 +110,15 @@ class CoreDataset(abc.ABC):
         # by_video iterates feature files like the reference
         # (dataloader.py:388-396, __len__ uses video_feat_list)
         self.video_ids = self.video_ids_all
+        # filter against the COMMON-stem set, not the first modality dir:
+        # a stem present in dir0 but dropped for missing siblings would
+        # otherwise stay sampleable and KeyError mid-epoch at load time
+        have = set(self.video_ids_all)
         self.cap_vid_list: List[Tuple[str, str]] = [
             (cap, vid)
             for vid, caps in self.video2caption.items()
             for cap in caps
-            if vid in self._maps[0]
+            if vid in have
         ]
         if debug:
             self.cap_vid_list = self.cap_vid_list[:debug_num]
@@ -134,13 +138,18 @@ class CoreDataset(abc.ABC):
     def load_video(self, vid: str) -> List[np.ndarray]:
         return [load_feature(p) for p in self.feature_paths(vid)]
 
-    def __getitem__(self, index: int) -> Tuple[List[np.ndarray], str, str]:
+    def row(self, index: int) -> Tuple[str, str]:
+        """(caption, vid) for sample ``index`` under the current mode — the
+        ONE mode dispatch shared by ``__getitem__`` and the native collate
+        path (they must resolve identical rows for the same indices)."""
         if self.mode == "by_caption":
-            caption, vid = self.cap_vid_list[index]
-        elif self.mode == "by_video":
-            caption, vid = "", self.video_ids[index]
-        else:
-            raise ValueError(f"unknown mode {self.mode}")
+            return self.cap_vid_list[index]
+        if self.mode == "by_video":
+            return "", self.video_ids[index]
+        raise ValueError(f"unknown mode {self.mode!r}")
+
+    def __getitem__(self, index: int) -> Tuple[List[np.ndarray], str, str]:
+        caption, vid = self.row(index)
         return self.load_video(vid), caption, vid
 
     @property
@@ -185,9 +194,6 @@ class VATEXDataset(CoreDataset):
     ``dataloader.py:114-151``); feature files keyed by the 11-char YouTube id
     prefix of the stem (``dataloader.py:121``)."""
 
-    def __init__(self, *args, **kw):
-        super().__init__(*args, **kw)
-
     def _parse_annotations(self) -> Dict[str, List[str]]:
         with open(self.annotation_path, encoding="utf-8") as f:
             ann = json.load(f)
@@ -207,7 +213,14 @@ _DATASETS = {"msrvtt": MSRVTTDataset, "msvd": MSVDDataset, "vatex": VATEXDataset
 def build_dataset(split_cfg) -> CoreDataset:
     """Factory mirroring ``build_dataloader``'s selection
     (``dataloader.py:513-522``); takes a ``SplitConfig``."""
-    cls = _DATASETS.get(split_cfg.dataset, MSRVTTDataset)
+    cls = _DATASETS.get(split_cfg.dataset.strip().lower())
+    if cls is None:
+        # fail fast like the unknown-split_type check: silently parsing a
+        # VATEX file with the MSR-VTT parser crashes far from the typo
+        raise ValueError(
+            f"unknown dataset {split_cfg.dataset!r} "
+            f"(expected one of {sorted(_DATASETS)})"
+        )
     return cls(
         split_cfg.feat_dir,
         split_cfg.annotation_path,

@@ -84,14 +84,18 @@ class DataLoader:
                 from vct_tpu.data.native import collate_from_dataset
 
                 try:
-                    yield collate_from_dataset(
+                    # build INSIDE try, yield OUTSIDE: with prefetch<=0 an
+                    # exception the consumer raises while processing the
+                    # batch is thrown into this generator at the yield —
+                    # it must propagate, not trip the native fallback and
+                    # re-yield the same indices as a duplicate batch
+                    batch = collate_from_dataset(
                         self.dataset, idx,
                         batch_size=bs,
                         max_frames=self.max_frames,
                         preprocessor=self.preprocessor,
                         feat_dtype=self.feat_dtype,
                     )
-                    continue
                 except (IOError, RuntimeError) as e:
                     from vct_tpu.data.native import NativeLoaderTooOld
 
@@ -106,6 +110,9 @@ class DataLoader:
                     # back to the Python path permanently (same results,
                     # load_feature casts via numpy)
                     self.native = False
+                else:
+                    yield batch
+                    continue
             items = [self.dataset[int(i)] for i in idx]
             batch = collate(
                 items,

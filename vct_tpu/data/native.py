@@ -149,23 +149,18 @@ def collate_from_dataset(dataset, indices, *, batch_size: int, max_frames: int,
     vid, paths) host-side, loads + pads all files of the batch in C++."""
     from vct_tpu.data.collate import Batch
 
-    rows: List[Tuple[str, str]] = []  # (caption, vid)
-    for i in indices:
-        if dataset.mode == "by_caption":
-            caption, vid = dataset.cap_vid_list[int(i)]
-        elif dataset.mode == "by_video":
-            caption, vid = "", dataset.video_ids[int(i)]
-        else:  # fail fast like CoreDataset.__getitem__, not silent by_video
-            raise ValueError(f"unknown mode {dataset.mode!r}")
-        rows.append((caption, vid))
+    # the dataset's own mode dispatch — identical rows to CoreDataset[i]
+    rows: List[Tuple[str, str]] = [dataset.row(int(i)) for i in indices]
     n_valid = len(rows)
-    rows = rows + [rows[0]] * (batch_size - n_valid)
+    pad = batch_size - n_valid
+    rows = rows + [rows[0]] * pad
 
     feats: List[np.ndarray] = []
     masks: List[np.ndarray] = []
     dims = dataset.feature_dims if hasattr(dataset, "feature_dims") else None
-    # one path resolution per row (feature_paths returns all modalities)
-    row_paths = [dataset.feature_paths(vid) for _, vid in rows]
+    # one path resolution per REAL row; filler rows repeat row 0 in memory
+    # below instead of re-reading its file (batch_size - n_valid) times
+    row_paths = [dataset.feature_paths(vid) for _, vid in rows[:n_valid]]
     if dims is None:
         # E is constant per modality for the whole epoch — peek each
         # modality's header once and memo it on the dataset
@@ -176,6 +171,10 @@ def collate_from_dataset(dataset, indices, *, batch_size: int, max_frames: int,
     for m in range(dataset.num_modal):
         paths = [p[m] for p in row_paths]
         f, msk = load_padded_batch(paths, max_frames, dims[m], dtype=feat_dtype)
+        if pad:
+            # bit-identical to re-loading row 0's file: same bytes
+            f = np.concatenate([f, np.repeat(f[:1], pad, axis=0)])
+            msk = np.concatenate([msk, np.repeat(msk[:1], pad, axis=0)])
         feats.append(f)
         masks.append(msk)
 

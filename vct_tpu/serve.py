@@ -103,6 +103,13 @@ class CaptionService:
             # ~350 MB of weights as traced constants
             jitted = jax.jit(lambda params, px: tower.apply({"params": params}, px))
             self.tower_apply = lambda px: jitted(self.clip_params, px)
+            # warm the tower for the default ext_type's frame count (uni_12)
+            # like the decode program below: the ~350 MB ViT compile through
+            # the relay takes minutes and would otherwise land inside the
+            # first video request's timeout (other frame counts still
+            # compile on first use)
+            np.asarray(self.tower_apply(jnp.zeros((12, 224, 224, 3),
+                                                  jnp.float32)))
 
         # compile + warm the decode program NOW so /healthz is truthful and
         # the first real requests don't burn their timeout on XLA compilation
@@ -122,6 +129,9 @@ class CaptionService:
         self._queue: "queue.Queue[_Request]" = queue.Queue(maxsize=self.max_queue)
         self._stop = threading.Event()
         self.stats = {"requests": 0, "batches": 0, "rejected": 0}
+        # 'rejected' is bumped concurrently from handler threads; the other
+        # two only from the single batcher thread — lock the shared one
+        self._stats_lock = threading.Lock()
         self._worker = threading.Thread(target=self._batch_loop, daemon=True)
         self._worker.start()
 
@@ -150,9 +160,7 @@ class CaptionService:
         sequence of per-modality arrays matching ``model.modal_shape``.
         """
         shapes = self.cfg.model.modal_shape
-        if isinstance(feats, np.ndarray) or (
-            not isinstance(feats, (list, tuple))
-        ):
+        if not isinstance(feats, (list, tuple)):
             feats = [feats]
         if len(feats) != len(shapes):
             raise ValueError(
@@ -168,7 +176,8 @@ class CaptionService:
         try:
             self._queue.put_nowait(req)
         except queue.Full:
-            self.stats["rejected"] += 1
+            with self._stats_lock:
+                self.stats["rejected"] += 1
             raise ServerOverloadedError(
                 f"request queue full ({self.max_queue} deep); retry later"
             ) from None

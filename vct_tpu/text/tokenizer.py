@@ -263,7 +263,13 @@ def make_tokenizer(
     """Build a tokenizer from a vocab file; fall back to a locally cached HF
     tokenizer's vocab if available (never downloads)."""
     if vocab_path:
-        do_lower = "cased" not in tokenizer_name or "uncased" in tokenizer_name
+        # HF convention: '-cased' models keep case; 'bert-base-chinese' is
+        # ALSO cased (its tokenizer_config sets do_lower_case=false) despite
+        # lacking the substring — without this, Latin words in VATEX-style
+        # Chinese captions get lowercased to different ids than HF produces
+        name = tokenizer_name.lower()
+        do_lower = ("uncased" in name
+                    or ("cased" not in name and "chinese" not in name))
         return WordPieceTokenizer.from_vocab_file(vocab_path, do_lower_case=do_lower)
     try:  # pragma: no cover - environment dependent
         from transformers import AutoTokenizer
