@@ -56,6 +56,20 @@ def test_eight_device_mesh_available():
     assert len(jax.devices()) == 8
 
 
+def test_mesh_underuse_warns_full_use_does_not():
+    # make_mesh warns when a sub-mesh leaves visible devices idle (a config
+    # typo here silently halves throughput otherwise), but stays quiet for
+    # the legal full-mesh and deliberate single-device (1x1) cases
+    import warnings
+
+    with pytest.warns(UserWarning, match=r"uses 4 of 8 visible devices"):
+        make_mesh(data=4, model=1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        make_mesh()  # all 8: no warning
+        make_mesh(data=1, model=1)  # single-device escape hatch: no warning
+
+
 def test_batch_actually_sharded():
     mesh = make_mesh()
     assert mesh.shape == {"data": 8, "model": 1}
