@@ -151,6 +151,41 @@ def test_stacked_layers_kernel_matches_per_layer(rng):
         np.testing.assert_array_equal(np.asarray(jnp.stack(vc)), np.asarray(vs))
 
 
+def test_stacked_layers_step_window_violation_poisons_output(rng):
+    """fused_layers_step's window contract (idx < staged cache length):
+    past the window the kernel's pos iota never matches idx and the fresh
+    token's K/V silently drops out of self-attention — the guard must
+    poison the hidden state to NaN so the violation is unmissable, and
+    must NOT fire inside the window."""
+    from vct_tpu.ops.pallas_decode import fused_layers_step
+
+    b, e, f, h, l, tm, nl = 8, 128, 256, 4, 8, 8, 2
+    def t(*s):
+        return jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.05)
+
+    stacked = {k: jnp.stack([t(*shape) for _ in range(nl)])
+               for k, shape in dict(
+                   wqkv=(e, 3 * e), bqkv=(3 * e,), wo=(e, e), bo=(e,),
+                   wcq=(e, e), bcq=(e,), wco=(e, e), bco=(e,),
+                   n1s=(e,), n1b=(e,), n2s=(e,), n2b=(e,),
+                   w1=(e, f), b1=(f,), w2=(f, e), b2=(e,),
+                   n3s=(e,), n3b=(e,)).items()}
+    ks = jnp.zeros((nl, l, b, e))
+    vs = jnp.zeros((nl, l, b, e))
+    cks, cvs = t(nl, tm, b, e), t(nl, tm, b, e)
+    mem_bias = jnp.zeros((b, tm), jnp.float32)
+
+    x_in, idx_in = t(b, e), l - 1  # last in-window row: real output
+    x_ok, _, _ = fused_layers_step(x_in, ks, vs, cks, cvs, mem_bias,
+                                   stacked, idx_in, heads=h, block_b=4,
+                                   interpret=True)
+    assert np.isfinite(np.asarray(x_ok)).all()
+    x_bad, _, _ = fused_layers_step(x_in, ks, vs, cks, cvs, mem_bias,
+                                    stacked, l, heads=h, block_b=4,
+                                    interpret=True)
+    assert np.isnan(np.asarray(x_bad)).all()
+
+
 def test_single_kernel_block_b_conflict(rng):
     """Explicit single_kernel=True with block_b > 32 is rejected clearly;
     auto-selection never fights an explicit large tile (falls back to the
